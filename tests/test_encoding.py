@@ -1,0 +1,267 @@
+"""Unit tests for the permutohedral hash encoding.
+
+Covers the SURVEY.md §4 test plan for the encoding: a scalar NumPy reference
+implementation of the lattice math (written against the classic algorithm,
+independently of the vectorized version), numerical gradient checks w.r.t.
+points and tables, and double-backprop (gradient-of-gradient) smoke tests
+that mirror the eikonal/curvature use-case.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from permuto_sdf_tpu.ops.permuto_encoding import (
+    PermutoEncodingSpec,
+    init_encoding_params,
+    permuto_encode,
+    coarse2fine_window,
+    _elevation_matrix,
+    _simplex_vertices_and_barycentric,
+    _HASH_PRIMES,
+)
+
+
+# ---------------------------------------------------------------------------
+# Scalar reference implementation (independent of the vectorized one).
+# ---------------------------------------------------------------------------
+
+def _ref_simplex(point, d):
+    """Classic scalar permutohedral simplex lookup for one point."""
+    sf = (d + 1) / np.sqrt(np.arange(1, d + 1) * (np.arange(1, d + 1) + 1.0))
+    elevated = np.zeros(d + 1)
+    sm = 0.0
+    for i in range(d, 0, -1):
+        cf = point[i - 1] * sf[i - 1]
+        elevated[i] = sm - i * cf
+        sm += cf
+    elevated[0] = sm
+
+    rem0 = np.zeros(d + 1)
+    total = 0
+    for i in range(d + 1):
+        v = elevated[i] / (d + 1)
+        up = np.ceil(v) * (d + 1)
+        down = np.floor(v) * (d + 1)
+        rem0[i] = up if (up - elevated[i] < elevated[i] - down) else down
+        total += int(rem0[i])
+    total //= d + 1
+
+    rank = np.zeros(d + 1, dtype=int)
+    for i in range(d):
+        di = elevated[i] - rem0[i]
+        for j in range(i + 1, d + 1):
+            if di < elevated[j] - rem0[j]:
+                rank[i] += 1
+            else:
+                rank[j] += 1
+
+    rem0 = rem0.astype(int)
+    for i in range(d + 1):
+        rank[i] += total
+        if rank[i] < 0:
+            rank[i] += d + 1
+            rem0[i] += d + 1
+        elif rank[i] > d:
+            rank[i] -= d + 1
+            rem0[i] -= d + 1
+
+    bary = np.zeros(d + 2)
+    for i in range(d + 1):
+        delta = (elevated[i] - rem0[i]) / (d + 1)
+        bary[d - rank[i]] += delta
+        bary[d + 1 - rank[i]] -= delta
+    bary[0] += 1.0 + bary[d + 1]
+
+    keys = np.zeros((d + 1, d), dtype=int)
+    for r in range(d + 1):
+        for i in range(d):
+            keys[r, i] = rem0[i] + r
+            if rank[i] > d - r:
+                keys[r, i] -= d + 1
+    return keys, bary[: d + 1]
+
+
+def _is_ambiguous(point, d, tol=1e-3):
+    """True when fp noise could legitimately flip the simplex choice
+    (point near a rounding tie or a rank tie — both impls are then valid)."""
+    E = _elevation_matrix(d).astype(np.float64)
+    elevated = E @ point
+    v = elevated / (d + 1)
+    if np.any(np.abs(v - np.floor(v) - 0.5) < tol):
+        return True
+    rem0 = np.where(
+        np.ceil(v) * (d + 1) - elevated < elevated - np.floor(v) * (d + 1),
+        np.ceil(v) * (d + 1),
+        np.floor(v) * (d + 1),
+    )
+    diff = elevated - rem0
+    pair = np.abs(diff[:, None] - diff[None, :])
+    return bool(np.any(pair[np.triu_indices(d + 1, 1)] < tol))
+
+
+@pytest.mark.parametrize("d", [2, 3, 4])
+def test_simplex_matches_scalar_reference(d):
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-20, 20, size=(64, d)).astype(np.float32)
+    keys, bary = _simplex_vertices_and_barycentric(jnp.asarray(pts), d)
+    keys, bary = np.asarray(keys), np.asarray(bary)
+    n_checked = 0
+    for n in range(pts.shape[0]):
+        if _is_ambiguous(pts[n].astype(np.float64), d):
+            continue
+        ref_keys, ref_bary = _ref_simplex(pts[n].astype(np.float64), d)
+        np.testing.assert_array_equal(keys[n], ref_keys)
+        np.testing.assert_allclose(bary[n], ref_bary, atol=1e-4)
+        n_checked += 1
+    assert n_checked > 32  # most points must be unambiguous
+
+
+@pytest.mark.parametrize("d", [2, 3, 4])
+def test_simplex_reconstruction_invariant(d):
+    # The elevated point must equal the barycentric combination of the full
+    # (d+1)-coordinate simplex vertices — holds for EVERY point, including
+    # tie-broken ones.
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(-20, 20, size=(256, d)).astype(np.float32)
+    keys, bary = _simplex_vertices_and_barycentric(jnp.asarray(pts), d)
+    keys, bary = np.asarray(keys), np.asarray(bary)  # [N,d+1,d], [N,d+1]
+    full = np.concatenate([keys, -keys.sum(-1, keepdims=True)], axis=-1)
+    recon = np.einsum("nr,nrc->nc", bary, full.astype(np.float64))
+    E = _elevation_matrix(d).astype(np.float64)
+    elevated = pts.astype(np.float64) @ E.T
+    np.testing.assert_allclose(recon, elevated, atol=5e-3)
+
+
+@pytest.mark.parametrize("d", [2, 3, 4])
+def test_barycentric_partition_of_unity(d):
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-100, 100, size=(256, d)).astype(np.float32)
+    _, bary = _simplex_vertices_and_barycentric(jnp.asarray(pts), d)
+    np.testing.assert_allclose(np.asarray(bary).sum(-1), 1.0, atol=1e-3)
+    assert np.asarray(bary).min() > -1e-3  # inside the simplex
+
+
+def test_vertex_keys_sum_to_zero_mod_structure(d=3):
+    # Full d+1 coords of each simplex vertex must sum to 0 (points live on
+    # the hyperplane); we only store the first d, the last is implied.
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-10, 10, size=(128, d)).astype(np.float32)
+    keys, _ = _simplex_vertices_and_barycentric(jnp.asarray(pts), d)
+    keys = np.asarray(keys)  # [N, d+1, d]
+    for r in range(d + 1):
+        # remainder-r points: each coordinate is congruent to r mod (d+1)
+        assert ((keys[:, r, :] - r) % (d + 1) == 0).all()
+
+
+def test_encode_shapes_and_window():
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 12, nr_levels=8,
+                               concat_points=True, concat_points_scaling=1e-3)
+    params = init_encoding_params(jax.random.PRNGKey(0), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.5, maxval=0.5)
+    out = permuto_encode(params, pts, spec)
+    assert out.shape == (32, spec.output_dims)
+    assert spec.output_dims == 8 * 2 + 3
+
+    # zero window kills the lattice features but keeps the concat points
+    out0 = permuto_encode(params, pts, spec, window=jnp.zeros(8))
+    np.testing.assert_allclose(np.asarray(out0[:, :16]), 0.0)
+    np.testing.assert_allclose(np.asarray(out0[:, 16:]), np.asarray(pts) * 1e-3,
+                               rtol=1e-6)
+
+
+def test_encode_continuity():
+    # Barycentric interpolation must be continuous across simplex boundaries:
+    # tiny steps in input produce tiny steps in output.
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 12, nr_levels=4,
+                               coarsest_scale=1.0, finest_scale=0.1,
+                               concat_points=False)
+    params = init_encoding_params(jax.random.PRNGKey(3), spec)
+    t = jnp.linspace(-0.5, 0.5, 2001)[:, None]
+    pts = jnp.concatenate([t, 0.3 * t, -0.2 * t + 0.1], axis=-1)
+    out = np.asarray(permuto_encode(params, pts, spec))
+    step = np.abs(np.diff(out, axis=0)).max()
+    assert step < 5e-4, f"discontinuity detected: {step}"
+
+
+def test_gradient_wrt_points_matches_finite_difference():
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 10, nr_levels=4,
+                               finest_scale=0.05, concat_points=False)
+    params = init_encoding_params(jax.random.PRNGKey(4), spec)
+    # scale up table values so gradients are O(1)
+    params = {**params, "lattice_values": params["lattice_values"] * 1e4}
+
+    def f(pts):
+        return jnp.sum(jnp.sin(permuto_encode(params, pts, spec)))
+
+    pts = jax.random.uniform(jax.random.PRNGKey(5), (8, 3), minval=-0.4, maxval=0.4)
+    g = np.asarray(jax.grad(f)(pts))
+    eps = 1e-4
+    for n, i in [(0, 0), (3, 1), (7, 2)]:
+        dp = np.zeros((8, 3), np.float32)
+        dp[n, i] = eps
+        fd = (f(pts + dp) - f(pts - dp)) / (2 * eps)
+        np.testing.assert_allclose(g[n, i], fd, rtol=2e-2, atol=1e-3)
+
+
+def test_gradient_wrt_table_is_scatter_of_barycentric():
+    spec = PermutoEncodingSpec(pos_dim=2, capacity=2 ** 8, nr_levels=1,
+                               coarsest_scale=0.7, concat_points=False)
+    params = init_encoding_params(jax.random.PRNGKey(6), spec)
+    pts = jnp.asarray([[0.13, -0.27]])
+
+    def f(table):
+        return jnp.sum(permuto_encode({**params, "lattice_values": table}, pts, spec))
+
+    g = np.asarray(jax.grad(f)(params["lattice_values"]))  # [1, C, F]
+    # gradient total mass per feature channel = sum of barycentric = 1
+    np.testing.assert_allclose(g.sum(), spec.nr_feat_per_level, atol=1e-4)
+    assert (g != 0).sum() <= 3 * spec.nr_feat_per_level  # only d+1 vertices touched
+
+
+def test_double_backprop_eikonal_style():
+    # d(loss)/d(table) where loss depends on d(sdf)/d(points): the exact
+    # pattern of the eikonal loss (reference models.py:239-251).
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 10, nr_levels=4,
+                               finest_scale=0.05, concat_points=False)
+    params = init_encoding_params(jax.random.PRNGKey(7), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(8), (16, 3), minval=-0.4, maxval=0.4)
+    w = jax.random.normal(jax.random.PRNGKey(9), (spec.output_dims, 1)) * 0.1
+
+    def sdf(table, p):
+        feats = permuto_encode({**params, "lattice_values": table}, p, spec)
+        return jnp.sum(feats @ w)
+
+    def eikonal(table):
+        grads = jax.grad(sdf, argnums=1)(table, pts)
+        return jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
+
+    g = jax.grad(eikonal)(params["lattice_values"])
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_coarse2fine_window():
+    w0 = np.asarray(coarse2fine_window(0.0, 10))
+    w1 = np.asarray(coarse2fine_window(1.0, 10))
+    wh = np.asarray(coarse2fine_window(0.5, 10))
+    np.testing.assert_allclose(w1, 1.0)
+    assert w0.max() == 0.0
+    assert wh[:4].min() > 0.99 and wh[6:].max() < 0.01 or wh[5] < 1.0
+    # monotone in t for every level
+    for lvl in range(10):
+        vals = [float(coarse2fine_window(t, 10)[lvl]) for t in np.linspace(0, 1, 7)]
+        assert all(b >= a - 1e-7 for a, b in zip(vals, vals[1:]))
+
+
+def test_jit_and_vmap_compose():
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 10, nr_levels=4)
+    params = init_encoding_params(jax.random.PRNGKey(10), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(11), (4, 8, 3))
+    f = jax.jit(lambda p: permuto_encode(params, p, spec))
+    batched = jax.vmap(f)(pts)
+    assert batched.shape == (4, 8, spec.output_dims)
+    single = f(pts[0])
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
