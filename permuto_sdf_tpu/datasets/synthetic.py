@@ -1,0 +1,107 @@
+"""Synthetic posed multi-view dataset from analytic SDF scenes.
+
+The benchmark/e2e stand-in for DTU in data-less environments: renders posed
+images of an analytic SDF scene by sphere tracing the exact SDF, giving a
+dataset with *known* ground-truth geometry (for Chamfer) and images (for
+PSNR). Serves the same role as the reference's DTU loader + TensorReel
+combination in its training pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from permuto_sdf_tpu.datasets.tensor_reel import TensorReel, look_at_cam_to_world, rays_from_frame
+
+
+def scene_sdf(p):
+    """Analytic test scene: sphere + torus union, inside the r=0.5 bound."""
+    sphere = jnp.linalg.norm(p - jnp.asarray([0.12, 0.0, 0.0]), axis=-1) - 0.17
+    q = p - jnp.asarray([-0.12, 0.0, 0.0])
+    xy = jnp.linalg.norm(q[..., :2], axis=-1)
+    torus = jnp.sqrt((xy - 0.14) ** 2 + q[..., 2] ** 2) - 0.06
+    return jnp.minimum(sphere, torus)
+
+
+def scene_normal(p):
+    g = jax.grad(lambda q: scene_sdf(q).sum())(p)
+    return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12)
+
+
+def scene_color(p, n):
+    """Position-striped albedo with lambertian shading from a fixed light."""
+    albedo = jnp.stack(
+        [
+            0.5 + 0.45 * jnp.sin(25.0 * p[..., 0]),
+            0.5 + 0.45 * jnp.sin(25.0 * p[..., 1] + 1.0),
+            0.5 + 0.45 * jnp.sin(25.0 * p[..., 2] + 2.0),
+        ],
+        axis=-1,
+    )
+    light = jnp.asarray([0.5, 0.7, -0.5])
+    light = light / jnp.linalg.norm(light)
+    lam = jnp.clip(jnp.sum(n * light, axis=-1, keepdims=True), 0.0, 1.0)
+    return jnp.clip(albedo * (0.25 + 0.75 * lam), 0.0, 1.0)
+
+
+_BG_COLOR = np.array([0.85, 0.9, 0.95], np.float32)
+
+
+def _render_view(K, tf, width, height, sdf_fn=scene_sdf, n_steps: int = 96):
+    origins, dirs = rays_from_frame(K, tf, width, height)
+
+    def trace(o, d):
+        def body(i, carry):
+            t, done = carry
+            p = o + t[..., None] * d
+            s = sdf_fn(p)
+            t = jnp.where(done, t, t + s * 0.9)
+            done = done | (jnp.abs(s) < 1e-4) | (t > 3.0)
+            return t, done
+
+        t0 = jnp.full(o.shape[:-1], 0.3)
+        done = jnp.zeros(o.shape[:-1], bool)
+        t, done = jax.lax.fori_loop(0, n_steps, body, (t0, done))
+        return t, jnp.abs(sdf_fn(o + t[..., None] * d)) < 1e-3
+
+    t, hit = trace(origins, dirs)
+    p = origins + t[..., None] * dirs
+    n = scene_normal(p)
+    rgb = scene_color(p, n)
+    rgb = jnp.where(hit[..., None], rgb, jnp.asarray(_BG_COLOR))
+    return (
+        np.asarray(rgb).reshape(height, width, 3),
+        np.asarray(hit).reshape(height, width, 1).astype(np.float32),
+    )
+
+
+def make_synthetic_reel(nr_views: int = 24, width: int = 200, height: int = 200,
+                        radius: float = 1.3, fov_deg: float = 32.0,
+                        with_mask: bool = True, sdf_fn=scene_sdf) -> TensorReel:
+    f = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
+
+    rgbs, masks, Ks, tfs = [], [], [], []
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    for i in range(nr_views):
+        # fibonacci hemisphere-ish coverage, avoiding poles
+        zf = 1.0 - 2.0 * (i + 0.5) / nr_views
+        zf = 0.8 * zf  # stay away from the poles
+        r = np.sqrt(max(1.0 - zf * zf, 1e-6))
+        th = golden * i
+        eye = radius * np.array([r * np.cos(th), zf, r * np.sin(th)])
+        tf = look_at_cam_to_world(eye)
+        rgb, mask = _render_view(K, tf, width, height, sdf_fn=sdf_fn)
+        rgbs.append(rgb)
+        masks.append(mask)
+        Ks.append(K)
+        tfs.append(tf.astype(np.float32))
+
+    return TensorReel(
+        rgb=jnp.asarray(np.stack(rgbs)),
+        mask=jnp.asarray(np.stack(masks)) if with_mask else None,
+        K=jnp.asarray(np.stack(Ks)),
+        tf_world_cam=jnp.asarray(np.stack(tfs)),
+    )

@@ -1,0 +1,119 @@
+"""TensorReel: device-resident image stack + fused random ray generation.
+
+Equivalent of the reference's ``TensorReel`` (from the external DataLoaders
+package) plus ``PermutoSDF::random_rays_from_reel``
+(``/root/reference/src/PermutoSDF.cu:67-112``, kernel
+``kernels/permuto_sdf/PermutoSDFGPU.cuh:24-127``): sample nr_rays random
+(image, pixel) pairs from the stacked dataset and emit ray origins/dirs +
+gt rgb/mask in one fused op.
+
+Layout is channels-last ``[N, H, W, 3]`` (TPU-native) instead of the
+reference's NCHW. The pixel->ray math matches the reference exactly:
+pixel centers at +0.5, K^-1 to camera coords, rotate by the world-from-cam
+rotation, gt rgb multiplied by the mask when present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TensorReel:
+    rgb: jnp.ndarray  # [N, H, W, 3] float32 in [0, 1]
+    mask: Optional[jnp.ndarray]  # [N, H, W, 1] float32 or None
+    K: jnp.ndarray  # [N, 3, 3] intrinsics
+    tf_world_cam: jnp.ndarray  # [N, 4, 4] camera-to-world transforms
+
+    @property
+    def nr_images(self) -> int:
+        return self.rgb.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.rgb.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.rgb.shape[2]
+
+
+def random_rays_from_reel(reel: TensorReel, key, nr_rays: int):
+    """-> (ray_origins [R,3], ray_dirs [R,3], gt_rgb [R,3], gt_mask [R,1],
+    img_indices [R])."""
+    k_img, k_pix = jax.random.split(key)
+    n, h, w = reel.nr_images, reel.height, reel.width
+    img_idx = jax.random.randint(k_img, (nr_rays,), 0, n)
+    pix_idx = jax.random.randint(k_pix, (nr_rays,), 0, h * w)
+    px = (pix_idx % w).astype(jnp.float32) + 0.5
+    py = (pix_idx // w).astype(jnp.float32) + 0.5
+
+    K = reel.K[img_idx]  # [R, 3, 3]
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    cam = jnp.stack([(px - cx) / fx, (py - cy) / fy, jnp.ones_like(px)], axis=-1)
+
+    tf = reel.tf_world_cam[img_idx]  # [R, 4, 4]
+    R_mat = tf[:, :3, :3]
+    t = tf[:, :3, 3]
+    world = jnp.einsum("rij,rj->ri", R_mat, cam) + t
+    dirs = world - t
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    yi = (py - 0.5).astype(jnp.int32)
+    xi = (px - 0.5).astype(jnp.int32)
+    gt_rgb = reel.rgb[img_idx, yi, xi]  # [R, 3]
+    if reel.mask is not None:
+        gt_mask = reel.mask[img_idx, yi, xi]
+        gt_rgb = gt_rgb * gt_mask
+    else:
+        gt_mask = jnp.ones((nr_rays, 1), gt_rgb.dtype)
+    return t, dirs, gt_rgb, gt_mask, img_idx
+
+
+def rays_from_frame(K, tf_world_cam, width: int, height: int):
+    """All-pixel ray generation for one frame — equivalent of
+    ``create_rays_from_frame`` (``permuto_sdf_py/utils/nerf_utils.py:459-500``)
+    / ``CreateRaysModule`` (``models/modules.py:165-238``).
+
+    Returns (origins [H*W, 3], dirs [H*W, 3]) in row-major pixel order
+    (x fastest), matching the reference's traversal."""
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
+    K = jnp.asarray(K)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    cam = jnp.stack(
+        [(px - cx) / fx, (py - cy) / fy, jnp.ones_like(px)], axis=-1
+    ).reshape(-1, 3)
+    tf = jnp.asarray(tf_world_cam)
+    world = cam @ tf[:3, :3].T + tf[:3, 3]
+    dirs = world - tf[:3, 3]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(tf[:3, 3], dirs.shape)
+    return origins, dirs
+
+
+def look_at_cam_to_world(eye, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
+    """Camera-to-world 4x4 for a camera at ``eye`` looking at ``target``
+    (OpenCV convention: +z forward, +x right, +y down)."""
+    import numpy as np
+
+    eye = np.asarray(eye, dtype=np.float64)
+    fwd = np.asarray(target, dtype=np.float64) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    upv = np.asarray(up, dtype=np.float64)
+    right = np.cross(fwd, upv)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    tf = np.eye(4)
+    tf[:3, 0] = right
+    tf[:3, 1] = down
+    tf[:3, 2] = fwd
+    tf[:3, 3] = eye
+    return tf

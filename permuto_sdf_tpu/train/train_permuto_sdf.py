@@ -1,0 +1,590 @@
+"""PermutoSDF training — the flagship pipeline.
+
+Equivalent of ``/root/reference/permuto_sdf_py/train_permuto_sdf.py``:
+recovers geometry (SDF) and appearance (RGB) from posed images via
+NeuS-style volumetric rendering with an occupancy grid and SDF-guided
+importance sampling. All hyperparameters and schedules mirror the
+reference's ``HyperParamsPermutoSDF`` (``train_permuto_sdf.py:77-105``):
+
+- sphere-init phase for the first 4000 iters (fit SDF to a r=0.3 sphere)
+- cos anneal 0->1 and forced variance 0.3->0.8 over 35000 iters
+- losses: masked L1 rgb + eikonal*0.04 (0.01 after 50k) + curvature*0.65
+  annealed off at 50k-51k + offsurface*1e-4 + lipshitz*3e-6 after 50k +
+  mask BCE*0.1
+- 256^3 occupancy grid updated from the SDF every 8 iters
+- AdamW(lr 1e-3, betas (0.9,0.99), eps 1e-15); 3000-iter linear warmup
+  after sphere init; LR x0.3 at 100k/150k/180k/190k; colorcal weight decay
+  1e-1 throughout; rgb-encoding weight decay 1.0 after 50k
+
+TPU-native structure (vs the reference's per-kernel Python driving):
+THREE jitted graphs — ``sphere_init_step``, ``train_step`` and
+``occupancy_update`` — cover the entire iteration; sampling/importance
+sampling run inside the step under stop_gradient; all shapes static
+(nr_rays fixed; 64 uniform + 16 + 16 importance samples per ray dense
+masked layout). Weight decay for the colorcal/rgb-encoding groups is
+applied as explicit decoupled decay inside the step (optax's adamw has a
+static wd, the reference flips the rgb-encoding group's wd at 50k).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from permuto_sdf_tpu.models.fields import (
+    SDFConfig, RGBConfig, NerfHashConfig,
+    init_sdf, sdf_apply, sdf_with_gradient, sdf_curvature_from_gradient,
+    init_rgb, rgb_apply, init_nerf_hash, nerf_hash_apply, init_colorcal,
+)
+from permuto_sdf_tpu.ops.ray_primitives import Sphere
+from permuto_sdf_tpu.ops import occupancy_grid as og
+from permuto_sdf_tpu.ops import volume_rendering as vr
+from permuto_sdf_tpu.ops.ray_sampler import compute_samples_fg, compute_samples_bg
+from permuto_sdf_tpu.ops.importance_sampling import importance_sampling_sdf_model
+from permuto_sdf_tpu.datasets.tensor_reel import TensorReel, random_rays_from_reel
+from permuto_sdf_tpu.utils.losses import sdf_loss_sphere, map_range_val
+from permuto_sdf_tpu.train import checkpoint as ckpt
+
+
+@dataclasses.dataclass(frozen=True)
+class PermutoSDFTrainConfig:
+    # science knobs — HyperParamsPermutoSDF (train_permuto_sdf.py:77-105)
+    s_mult: float = 1.0
+    lr: float = 1e-3
+    nr_iter_sphere_fit: int = 4000
+    forced_variance_finish_iter: int = 35000
+    eikonal_weight: float = 0.04
+    eikonal_weight_reduced: float = 0.01
+    curvature_weight: float = 0.65
+    lipshitz_weight: float = 3e-6
+    mask_weight: float = 0.1
+    offsurface_weight: float = 1e-4
+    iter_start_reduce_curv: int = 50000
+    lr_milestones: tuple = (100000, 150000, 180000, 190000)
+    iter_finish_training: int = 200000
+    forced_variance_finish: float = 0.8
+    use_occupancy_grid: bool = True
+    nr_samples_bg: int = 32
+    min_dist_between_samples: float = 0.0001
+    max_nr_samples_per_ray: int = 64
+    nr_samples_imp_sampling: int = 16
+    do_importance_sampling: bool = True
+    use_color_calibration: bool = True
+    nr_rays: int = 512
+    sdf_geom_feat_size: int = 32
+    sdf_nr_iters_for_c2f: int = 10000
+    rgb_nr_iters_for_c2f: int = 1
+    background_nr_iters_for_c2f: int = 1
+    with_mask: bool = False
+    warmup_iters: int = 3000
+    lr_decay_gamma: float = 0.3
+    sphere_init_points: int = 30000
+    sphere_init_radius: float = 0.3
+    grid_nr_voxels_per_dim: int = 256
+    grid_update_every: int = 8
+    grid_nr_random_samples: int = 256 * 256 * 4
+    grid_occupancy_thresh: float = 1e-4
+    # encoding sizes (shrink for smoke tests)
+    capacity: int = 2 ** 18
+    nr_levels: int = 24
+
+    @property
+    def iter_finish_reduce_curv(self) -> int:
+        return self.iter_start_reduce_curv + 1001
+
+    @property
+    def sdf_model(self) -> SDFConfig:
+        return SDFConfig(
+            in_channels=3, geom_feat_size_out=self.sdf_geom_feat_size,
+            nr_iters_for_c2f=self.sdf_nr_iters_for_c2f,
+            capacity=self.capacity, nr_levels=self.nr_levels,
+        )
+
+    @property
+    def rgb_model(self) -> RGBConfig:
+        return RGBConfig(
+            in_channels=3, geom_feat_size_in=self.sdf_geom_feat_size,
+            nr_iters_for_c2f=self.rgb_nr_iters_for_c2f,
+            capacity=self.capacity, nr_levels=self.nr_levels,
+        )
+
+    @property
+    def bg_model(self) -> NerfHashConfig:
+        return NerfHashConfig(
+            in_channels=4, nr_iters_for_c2f=self.background_nr_iters_for_c2f,
+            capacity=self.capacity, nr_levels=self.nr_levels,
+        )
+
+    @property
+    def grid(self) -> og.OccupancyGridConfig:
+        return og.OccupancyGridConfig(nr_voxels_per_dim=self.grid_nr_voxels_per_dim)
+
+
+BOUND = Sphere(0.5, (0.0, 0.0, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Params / optimizer / schedules
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: PermutoSDFTrainConfig, nr_cams: int):
+    k_sdf, k_rgb, k_bg = jax.random.split(key, 3)
+    params = {
+        "sdf": init_sdf(k_sdf, cfg.sdf_model),
+        "rgb": init_rgb(k_rgb, cfg.rgb_model),
+        "bg": init_nerf_hash(k_bg, cfg.bg_model),
+        "variance": vr.init_variance(0.3),
+    }
+    if cfg.use_color_calibration:
+        params["colorcal"] = init_colorcal(nr_cams)
+    return params
+
+
+def lr_schedule(cfg: PermutoSDFTrainConfig, iter_nr):
+    """Reference LR behavior: flat during sphere init; then linear warmup
+    over 3000 iters; x0.3 at each milestone (milestones measured in
+    post-sphere-init iters, matching the scheduler stepping of
+    train_permuto_sdf.py:419-422)."""
+    it = jnp.asarray(iter_nr, jnp.float32)
+    s = it - cfg.nr_iter_sphere_fit  # post-sphere-init step count
+    warm = jnp.clip(s / cfg.warmup_iters, 0.0, 1.0)
+    n_milestones = jnp.sum(
+        s[None] >= jnp.asarray(cfg.lr_milestones, jnp.float32)
+        if s.ndim else s >= jnp.asarray(cfg.lr_milestones, jnp.float32)
+    )
+    decay = cfg.lr_decay_gamma ** n_milestones.astype(jnp.float32)
+    in_sphere_init = it < cfg.nr_iter_sphere_fit
+    return jnp.where(in_sphere_init, cfg.lr, cfg.lr * warm * decay)
+
+
+def make_optimizer(cfg: PermutoSDFTrainConfig):
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15, eps_root=0.0),
+        optax.scale(-1.0),
+    )
+
+
+def _apply_weight_decay(params, lr_now, iter_nr, cfg: PermutoSDFTrainConfig):
+    """Decoupled AdamW-style decay for the two groups the reference decays:
+    colorcal (wd 1e-1 always) and the rgb encoding lattice (wd 1.0 after
+    iter_start_reduce_curv) — train_permuto_sdf.py:299,399-403."""
+    if "colorcal" in params:
+        cc = params["colorcal"]
+        factor = 1.0 - lr_now * 1e-1
+        params = {**params, "colorcal": jax.tree_util.tree_map(lambda x: x * factor, cc)}
+    rgb_wd_on = (iter_nr - cfg.nr_iter_sphere_fit) >= cfg.iter_start_reduce_curv
+    factor = jnp.where(rgb_wd_on, 1.0 - lr_now * 1.0, 1.0)
+    rgb = params["rgb"]
+    rgb = {**rgb, "encoding": {**rgb["encoding"],
+                               "lattice_values": rgb["encoding"]["lattice_values"] * factor}}
+    return {**params, "rgb": rgb}
+
+
+# ---------------------------------------------------------------------------
+# Rendering (run_net equivalent, train_permuto_sdf.py:111-169)
+# ---------------------------------------------------------------------------
+
+def _create_fg_samples(params, grid, key, origins, dirs, t_entry, t_exit,
+                       iter_nr_anneal, cfg: PermutoSDFTrainConfig, jitter: bool):
+    k_uni, k_imp = jax.random.split(key)
+    if cfg.use_occupancy_grid and grid is not None:
+        samples = og.compute_samples_in_occupied_regions(
+            cfg.grid, grid, origins, dirs, t_entry, t_exit,
+            cfg.min_dist_between_samples, cfg.max_nr_samples_per_ray,
+            key=k_uni, jitter=jitter,
+        )
+    else:
+        samples = compute_samples_fg(
+            origins, dirs, t_entry, t_exit, cfg.min_dist_between_samples,
+            cfg.max_nr_samples_per_ray, key=k_uni, jitter=jitter,
+        )
+    if cfg.do_importance_sampling:
+        sdf_fn = lambda pts: sdf_apply(params["sdf"], pts, iter_nr_anneal,
+                                       cfg.sdf_model)[0]
+        samples = importance_sampling_sdf_model(
+            sdf_fn, samples, t_exit, k_imp, cfg.nr_samples_imp_sampling,
+            jitter=jitter,
+        )
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
+
+
+def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
+            cos_anneal_ratio, forced_variance, cfg: PermutoSDFTrainConfig,
+            jitter: bool):
+    """Returns (pred_rgb, pred_normals, sdf_gradients_flat, weights_sum,
+    samples, inv_s)."""
+    _, t_entry, _, t_exit, does_intersect = BOUND.ray_intersection(origins, dirs)
+    k_samp, k_bg = jax.random.split(key)
+    samples = _create_fg_samples(params, grid, k_samp, origins, dirs, t_entry,
+                                 t_exit, iter_nr_anneal, cfg, jitter)
+    R, S = samples.mask.shape
+
+    pos_flat = samples.flat_positions()
+    sdf, sdf_gradients, geom_feat = sdf_with_gradient(
+        params["sdf"], pos_flat, iter_nr_anneal, cfg.sdf_model
+    )
+
+    colorcal = params.get("colorcal")
+    per_sample_img = (
+        jnp.broadcast_to(img_indices[:, None], (R, S)).reshape(-1)
+        if img_indices is not None else None
+    )
+    cc = colorcal if (colorcal is not None and img_indices is not None) else None
+    rgb_flat = rgb_apply(
+        params["rgb"], pos_flat, samples.flat_dirs(), sdf_gradients, geom_feat,
+        iter_nr_anneal, cfg.rgb_model, colorcal_params=cc,
+        per_sample_img_indices=per_sample_img,
+    )
+
+    inv_s = vr.variance_inv_s(params["variance"], forced_variance)
+    weights, weights_sum, bg_transmittance = vr.neus_compute_weights(
+        samples, sdf, sdf_gradients, inv_s, cos_anneal_ratio
+    )
+    # zero weights at invalid samples of fully-masked rays is already handled
+    pred_rgb = vr.integrate_with_weights(rgb_flat.reshape(R, S, 3), weights,
+                                         samples.mask)
+    grad_int = vr.integrate_with_weights(sdf_gradients.reshape(R, S, 3), weights,
+                                         samples.mask)
+    pred_normals = grad_int / (jnp.linalg.norm(grad_int, axis=-1, keepdims=True) + 1e-12)
+
+    if not cfg.with_mask:
+        bg_samples = compute_samples_bg(
+            origins, dirs, t_exit, cfg.nr_samples_bg, BOUND.radius, BOUND.center,
+            key=k_bg, jitter=jitter,
+        )
+        bg_samples = jax.tree_util.tree_map(jax.lax.stop_gradient, bg_samples)
+        Rb, Sb = bg_samples.mask.shape
+        per_sample_img_bg = (
+            jnp.broadcast_to(img_indices[:, None], (Rb, Sb)).reshape(-1)
+            if img_indices is not None else None
+        )
+        rgb_bg, dens_bg = nerf_hash_apply(
+            params["bg"], bg_samples.pos_4d.reshape(-1, 4), bg_samples.flat_dirs(),
+            iter_nr_anneal, cfg.bg_model, colorcal_params=cc,
+            per_sample_img_indices=per_sample_img_bg,
+        )
+        w_bg, _, _ = vr.nerf_compute_weights(bg_samples, dens_bg)
+        pred_rgb_bg = vr.integrate_with_weights(rgb_bg.reshape(Rb, Sb, 3), w_bg,
+                                                bg_samples.mask)
+        pred_rgb = pred_rgb + bg_transmittance[:, None] * pred_rgb_bg
+
+    return pred_rgb, pred_normals, sdf, sdf_gradients, weights_sum, samples, inv_s, does_intersect
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def sphere_init_step(params, opt_state, key, iter_nr, cfg: PermutoSDFTrainConfig,
+                     optimizer):
+    """Fit the SDF to a r=0.3 sphere (train_permuto_sdf.py:327-329 ->
+    permuto_sdf_utils.py:53-77)."""
+    pts = BOUND.rand_points_inside(key, cfg.sphere_init_points)
+
+    def loss_fn(p):
+        sdf, grads, _ = sdf_with_gradient(p["sdf"], pts, iter_nr, cfg.sdf_model)
+        loss, loss_sdf, loss_eik = sdf_loss_sphere(
+            pts, sdf, grads, cfg.sphere_init_radius, (0.0, 0.0, 0.0)
+        )
+        return loss, (loss_sdf, loss_eik)
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    lr_now = lr_schedule(cfg, iter_nr)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    updates = jax.tree_util.tree_map(lambda u: u * lr_now, updates)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
+                     cfg: PermutoSDFTrainConfig):
+    """SDF-based occupancy refresh (train_permuto_sdf.py:386-392)."""
+    centers, lin = og.compute_random_sample_of_grid_points(
+        cfg.grid, key, cfg.grid_nr_random_samples, jitter=True
+    )
+    sdf, _ = sdf_apply(params["sdf"], centers, iter_nr_anneal, cfg.sdf_model)
+    return og.update_with_sdf_random_sample(
+        cfg.grid, grid, lin, sdf, inv_s, cfg.grid_occupancy_thresh
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
+               cfg: PermutoSDFTrainConfig, optimizer):
+    iter_nr_anneal = iter_nr - cfg.nr_iter_sphere_fit
+    cos_anneal_ratio = map_range_val(
+        iter_nr_anneal, 0.0, cfg.forced_variance_finish_iter, 0.0, 1.0
+    )
+    forced_variance = map_range_val(
+        iter_nr_anneal, 0.0, cfg.forced_variance_finish_iter, 0.3,
+        cfg.forced_variance_finish,
+    )
+
+    k_rays, k_render, k_curv, k_off = jax.random.split(key, 4)
+    origins, dirs, gt_rgb, gt_mask, img_indices = random_rays_from_reel(
+        reel, k_rays, cfg.nr_rays
+    )
+
+    global_weight_curvature = map_range_val(
+        iter_nr_anneal, cfg.iter_start_reduce_curv, cfg.iter_finish_reduce_curv,
+        1.0, 0.0,
+    )
+    eik_w = jnp.where(
+        iter_nr_anneal >= cfg.iter_start_reduce_curv,
+        cfg.eikonal_weight_reduced, cfg.eikonal_weight,
+    )
+
+    def loss_fn(p):
+        (pred_rgb, pred_normals, sdf, sdf_gradients, weights_sum, samples,
+         inv_s, does_intersect) = run_net(
+            p, grid, k_render, origins, dirs, img_indices, iter_nr_anneal,
+            cos_anneal_ratio, forced_variance, cfg, jitter=True,
+        )
+
+        loss_rgb = jnp.mean(jnp.abs(gt_rgb - pred_rgb) * does_intersect)
+        loss = loss_rgb
+
+        # eikonal over the fg samples (only valid ones)
+        mask_flat = samples.flat_mask()
+        gnorm = jnp.linalg.norm(sdf_gradients, axis=-1)
+        nvalid = jnp.maximum(jnp.sum(mask_flat), 1.0)
+        loss_eik = jnp.sum(jnp.where(mask_flat, (gnorm - 1.0) ** 2, 0.0)) / nvalid
+        loss = loss + loss_eik * eik_w
+
+        # curvature (annealed off after iter_start_reduce_curv)
+        _, curvature = sdf_curvature_from_gradient(
+            p["sdf"], k_curv, samples.flat_positions(), sdf_gradients,
+            iter_nr_anneal, cfg.sdf_model,
+        )
+        loss_curv = jnp.sum(jnp.where(mask_flat[:, None], curvature, 0.0)) / nvalid
+        loss = loss + loss_curv * cfg.curvature_weight * global_weight_curvature
+
+        # offsurface high-sdf loss (only with occupancy grid)
+        if cfg.use_occupancy_grid:
+            off_pts = BOUND.rand_points_inside(k_off, 1024)
+            sdf_rand, _ = sdf_apply(p["sdf"], off_pts, iter_nr_anneal, cfg.sdf_model)
+            loss_off = jnp.mean(jnp.exp(-1e2 * jnp.abs(sdf_rand)))
+            loss = loss + loss_off * cfg.offsurface_weight
+
+        # lipshitz bound (after iter_start_reduce_curv)
+        from permuto_sdf_tpu.models.mlp import lipshitz_bound_full
+
+        loss_lip = lipshitz_bound_full(p["rgb"]["mlp"])
+        loss = loss + jnp.where(
+            iter_nr_anneal >= cfg.iter_start_reduce_curv,
+            loss_lip * cfg.lipshitz_weight, 0.0,
+        )
+
+        # mask loss
+        if cfg.with_mask:
+            ws = jnp.clip(weights_sum, 1e-3, 1.0 - 1e-3)
+            bce = -(gt_mask * jnp.log(ws) + (1 - gt_mask) * jnp.log(1 - ws))
+            loss = loss + jnp.mean(bce) * cfg.mask_weight
+
+        aux = {
+            "loss_rgb": loss_rgb, "loss_eikonal": loss_eik,
+            "loss_curvature": loss_curv, "inv_s": inv_s,
+            "nr_samples": jnp.sum(samples.mask),
+        }
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    lr_now = lr_schedule(cfg, iter_nr)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    updates = jax.tree_util.tree_map(lambda u: u * lr_now, updates)
+    params = optax.apply_updates(params, updates)
+    params = _apply_weight_decay(params, lr_now, iter_nr, cfg)
+    return params, opt_state, loss, aux
+
+
+# ---------------------------------------------------------------------------
+# Eval rendering
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
+                     cos_anneal_ratio, forced_variance, cfg: PermutoSDFTrainConfig):
+    pred_rgb, pred_normals, _, _, weights_sum, _, _, _ = run_net(
+        params, grid, jax.random.PRNGKey(0), origins, dirs, None,
+        iter_nr_anneal, cos_anneal_ratio, forced_variance, cfg, jitter=False,
+    )
+    return pred_rgb, pred_normals, weights_sum
+
+
+def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
+                 cfg: PermutoSDFTrainConfig, forced_variance=0.8, chunk: int = 2048):
+    """run_net_in_chunks equivalent (train_permuto_sdf.py:172-209)."""
+    from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
+
+    origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
+    n = origins.shape[0]
+    pad = (-n) % chunk
+    origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+    dirs = jnp.concatenate([dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+    rgbs, normals, alphas = [], [], []
+    for i in range(0, n + pad, chunk):
+        rgb, nrm, ws = render_rays_eval(
+            params, grid, origins[i : i + chunk], dirs[i : i + chunk],
+            iter_nr_anneal, 1.0, forced_variance, cfg,
+        )
+        rgbs.append(np.asarray(rgb))
+        normals.append(np.asarray(nrm))
+        alphas.append(np.asarray(ws))
+    rgb = np.concatenate(rgbs)[:n].reshape(height, width, 3)
+    nrm = np.concatenate(normals)[:n].reshape(height, width, 3)
+    alpha = np.concatenate(alphas)[:n].reshape(height, width, 1)
+    return rgb, nrm, alpha
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
+          nr_iters: int | None = None, seed: int = 0, log_every: int = 1000,
+          checkpoint_path: str | None = None,
+          experiment_name: str = "permuto_sdf", save_every: int = 10000,
+          callbacks=None):
+    nr_iters = nr_iters or cfg.iter_finish_training
+    key = jax.random.PRNGKey(seed)
+    params = init_params(jax.random.fold_in(key, 0), cfg, reel.nr_images)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    grid = og.make_occupancy_grid(cfg.grid) if cfg.use_occupancy_grid else None
+
+    history = []
+    t0 = time.perf_counter()
+    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0))
+    for it in range(nr_iters):
+        key, k_step, k_grid = jax.random.split(key, 3)
+        in_sphere_init = it < cfg.nr_iter_sphere_fit
+        if in_sphere_init:
+            params, opt_state, loss = sphere_init_step(
+                params, opt_state, k_step, it, cfg, optimizer
+            )
+            aux = {}
+        else:
+            it_anneal = it - cfg.nr_iter_sphere_fit
+            if cfg.use_occupancy_grid and it % cfg.grid_update_every == 0:
+                grid = occupancy_update(params, grid, k_grid, it_anneal,
+                                        last_inv_s, cfg)
+            params, opt_state, loss, aux = train_step(
+                params, opt_state, grid, reel, k_step, it, cfg, optimizer
+            )
+            last_inv_s = aux["inv_s"]
+
+        if it % log_every == 0 or it == nr_iters - 1:
+            lv = float(loss)
+            history.append((it, lv, float(aux["loss_rgb"]) if aux else None))
+            extra = (
+                f"  rgb {float(aux['loss_rgb']):.4f} eik {float(aux['loss_eikonal']):.4f}"
+                if aux else "  (sphere init)"
+            )
+            print(f"iter {it:6d}  loss {lv:.6f}{extra}  ({time.perf_counter()-t0:.1f}s)")
+            if callbacks:
+                for cb in callbacks:
+                    cb(it, loss, aux, params, grid)
+        if checkpoint_path and save_every and it > 0 and it % save_every == 0:
+            _save(checkpoint_path, experiment_name, it, params, grid)
+    if checkpoint_path:
+        _save(checkpoint_path, experiment_name, nr_iters, params, grid)
+    return params, grid, history
+
+
+def _save(checkpoint_path, experiment_name, it, params, grid):
+    ckpt.save_model(checkpoint_path, experiment_name, it, "sdf_model", params["sdf"])
+    ckpt.save_model(checkpoint_path, experiment_name, it, "rgb_model", params["rgb"])
+    ckpt.save_model(checkpoint_path, experiment_name, it, "nerf_hash_model_bg",
+                    params["bg"])
+    ckpt.save_model(checkpoint_path, experiment_name, it, "variance",
+                    params["variance"])
+    if "colorcal" in params:
+        ckpt.save_model(checkpoint_path, experiment_name, it, "colorcal_model",
+                        params["colorcal"])
+    if grid is not None:
+        ckpt.save_model(checkpoint_path, experiment_name, it, "occupancy_grid", grid)
+
+
+def load_from_checkpoint(ckpt_path_full: str, cfg: PermutoSDFTrainConfig):
+    """permuto_sdf_utils.load_from_checkpoint equivalent: returns
+    (params, grid)."""
+    params = {
+        "sdf": ckpt.load_model(ckpt_path_full, "sdf_model"),
+        "rgb": ckpt.load_model(ckpt_path_full, "rgb_model"),
+        "bg": ckpt.load_model(ckpt_path_full, "nerf_hash_model_bg"),
+        "variance": ckpt.load_model(ckpt_path_full, "variance"),
+    }
+    try:
+        params["colorcal"] = ckpt.load_model(ckpt_path_full, "colorcal_model")
+    except FileNotFoundError:
+        pass
+    try:
+        grid_tree = ckpt.load_model(ckpt_path_full, "occupancy_grid")
+        grid = og.OccupancyGridState(
+            values=jnp.asarray(grid_tree["values"]),
+            occupancy=jnp.asarray(grid_tree["occupancy"]),
+        )
+    except FileNotFoundError:
+        grid = None
+    return params, grid
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train PermutoSDF")
+    parser.add_argument("--dataset", default="synthetic", help="synthetic | dtu")
+    parser.add_argument("--scene_dir", default=None)
+    parser.add_argument("--nr_iters", type=int, default=None)
+    parser.add_argument("--low_res", action="store_true")
+    parser.add_argument("--with_mask", action="store_true")
+    parser.add_argument("--smoke", action="store_true")
+    parser.add_argument("--checkpoint_path", default=None)
+    parser.add_argument("--exp_info", default="")
+    args = parser.parse_args()
+
+    if args.dataset == "synthetic":
+        from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+
+        reel = make_synthetic_reel(
+            nr_views=8 if args.smoke else 24,
+            width=64 if args.smoke else 200,
+            height=64 if args.smoke else 200,
+        )
+    else:
+        from permuto_sdf_tpu.datasets.dtu import load_dtu_scene
+
+        reel = load_dtu_scene(args.scene_dir, low_res=args.low_res,
+                              with_mask=args.with_mask)
+
+    if args.smoke:
+        cfg = PermutoSDFTrainConfig(
+            with_mask=args.with_mask, capacity=2 ** 14, nr_levels=8,
+            nr_rays=128, nr_iter_sphere_fit=100, sphere_init_points=4096,
+            grid_nr_voxels_per_dim=64, grid_nr_random_samples=8192,
+            sdf_nr_iters_for_c2f=200, forced_variance_finish_iter=400,
+            max_nr_samples_per_ray=32, nr_samples_imp_sampling=8,
+            warmup_iters=100,
+        )
+        params, grid, history = train(reel, cfg, nr_iters=600, log_every=50)
+        post = [h for h in history if h[0] >= cfg.nr_iter_sphere_fit]
+        assert post[-1][2] < post[0][2] * 0.9, (
+            f"smoke: rgb loss did not improve {post[0]} -> {post[-1]}"
+        )
+        print("SMOKE OK:", post[0], "->", post[-1])
+    else:
+        cfg = PermutoSDFTrainConfig(with_mask=args.with_mask)
+        exp = "permuto_sdf" + (f"_{args.exp_info}" if args.exp_info else "")
+        train(reel, cfg, nr_iters=args.nr_iters,
+              checkpoint_path=args.checkpoint_path, experiment_name=exp)
+
+
+if __name__ == "__main__":
+    main()
