@@ -1,0 +1,69 @@
+"""Benchmark: volumetric training throughput (rays/sec/chip) on real hardware.
+
+Runs the flagship PermutoSDF train step (reference-scale models: capacity
+2^18, 24 levels, 512 rays x (64+16+16) samples — the reference's per-step
+sample budget, train_permuto_sdf.py:95-104) on a synthetic posed dataset
+and reports ONE JSON line.
+
+Baseline: the reference runs this step in ~62 ms on the author's GPU
+(train_permuto_sdf.py:429 comment) => 512/0.062 ~= 8258 rays/sec.
+``vs_baseline`` = ours / reference (higher is better).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+REFERENCE_RAYS_PER_SEC = 512.0 / 0.062  # ~8258 rays/s (62 ms for 512 rays)
+
+
+def main():
+    quick = "--quick" in sys.argv
+
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+
+    cfg = tps.PermutoSDFTrainConfig()  # full reference scale
+    reel = make_synthetic_reel(nr_views=4, width=100, height=100)
+
+    params = tps.init_params(jax.random.PRNGKey(0), cfg, reel.nr_images)
+    optimizer = tps.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    grid = og.make_occupancy_grid(cfg.grid)
+
+    key = jax.random.PRNGKey(1)
+    it = jnp.asarray(cfg.nr_iter_sphere_fit + 100)
+
+    # warmup / compile
+    key, k = jax.random.split(key)
+    params, opt_state, loss, aux = tps.train_step(
+        params, opt_state, grid, reel, k, it, cfg, optimizer
+    )
+    jax.block_until_ready(loss)
+
+    n_iters = 5 if quick else 50
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, k = jax.random.split(key)
+        params, opt_state, loss, aux = tps.train_step(
+            params, opt_state, grid, reel, k, it + i, cfg, optimizer
+        )
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    rays_per_sec = cfg.nr_rays / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

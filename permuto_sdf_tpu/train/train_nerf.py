@@ -173,9 +173,10 @@ def _render_rays(params, grid, key, origins, dirs, img_indices, iter_nr,
     return pred_rgb, pred_rgb_bg, weights_sum, does_intersect
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
-def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
-               cfg: NerfTrainConfig, optimizer):
+def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
+                           cfg: NerfTrainConfig):
+    """Pure per-ray-batch gradient computation (data-parallel unit).
+    Returns (loss, aux, grads)."""
     k_rays, k_render = jax.random.split(key)
     origins, dirs, gt_rgb, gt_mask, img_indices = random_rays_from_reel(
         reel, k_rays, cfg.nr_rays
@@ -195,6 +196,14 @@ def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
         return loss, loss_rgb
 
     (loss, loss_rgb), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, loss_rgb, grads
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
+               cfg: NerfTrainConfig, optimizer):
+    loss, loss_rgb, grads = compute_loss_and_grads(params, grid, reel, key,
+                                                   iter_nr, cfg)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss, loss_rgb

@@ -317,9 +317,11 @@ def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
-def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
-               cfg: PermutoSDFTrainConfig, optimizer):
+def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
+                           cfg: PermutoSDFTrainConfig):
+    """Pure gradient computation for one ray batch — the unit that data
+    parallelism shards over devices (rays are embarrassingly parallel; see
+    permuto_sdf_tpu.parallel). Returns (loss, aux, grads)."""
     iter_nr_anneal = iter_nr - cfg.nr_iter_sphere_fit
     cos_anneal_ratio = map_range_val(
         iter_nr_anneal, 0.0, cfg.forced_variance_finish_iter, 0.0, 1.0
@@ -398,11 +400,25 @@ def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
         return loss, aux
 
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, aux, grads
+
+
+def apply_updates(params, opt_state, grads, iter_nr, cfg: PermutoSDFTrainConfig,
+                  optimizer):
     lr_now = lr_schedule(cfg, iter_nr)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     updates = jax.tree_util.tree_map(lambda u: u * lr_now, updates)
     params = optax.apply_updates(params, updates)
     params = _apply_weight_decay(params, lr_now, iter_nr, cfg)
+    return params, opt_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
+               cfg: PermutoSDFTrainConfig, optimizer):
+    loss, aux, grads = compute_loss_and_grads(params, grid, reel, key, iter_nr, cfg)
+    params, opt_state = apply_updates(params, opt_state, grads, iter_nr, cfg,
+                                      optimizer)
     return params, opt_state, loss, aux
 
 
@@ -439,6 +455,70 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
         rgbs.append(np.asarray(rgb))
         normals.append(np.asarray(nrm))
         alphas.append(np.asarray(ws))
+    rgb = np.concatenate(rgbs)[:n].reshape(height, width, 3)
+    nrm = np.concatenate(normals)[:n].reshape(height, width, 3)
+    alpha = np.concatenate(alphas)[:n].reshape(height, width, 1)
+    return rgb, nrm, alpha
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nr_sphere_traces",
+                                             "sdf_multiplier", "sdf_converged_tresh"))
+def render_rays_sphere_traced(params, grid, origins, dirs, iter_nr_anneal,
+                              cfg: PermutoSDFTrainConfig,
+                              nr_sphere_traces: int = 15,
+                              sdf_multiplier: float = 0.9,
+                              sdf_converged_tresh: float = 2e-4):
+    """run_net_sphere_traced equivalent (train_permuto_sdf.py:211-242):
+    sphere trace to the surface, then shade ONE sample per ray with the RGB
+    model; weights 1 inside occupied+bounded space else 0."""
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace
+
+    def sdf_fn(p):
+        return sdf_apply(params["sdf"], p, iter_nr_anneal, cfg.sdf_model)[0]
+
+    grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
+    pos, sdf, converged, alive = sphere_trace(
+        sdf_fn, origins, dirs, BOUND, nr_sphere_traces, sdf_multiplier,
+        sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
+    )
+
+    sdf_end, grads_end, geom_end = sdf_with_gradient(
+        params["sdf"], pos, iter_nr_anneal, cfg.sdf_model
+    )
+    in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
+    if grid_cfg is not None:
+        in_bounds = in_bounds & og.check_occupancy(grid_cfg, grid, pos)
+    weights = (in_bounds & alive).astype(jnp.float32)[:, None]
+
+    rgb = rgb_apply(
+        params["rgb"], pos, dirs, grads_end, geom_end, iter_nr_anneal,
+        cfg.rgb_model,
+    )
+    pred_rgb = rgb * weights
+    normals = grads_end / (jnp.linalg.norm(grads_end, axis=-1, keepdims=True) + 1e-12)
+    pred_normals = normals * weights
+    return pred_rgb, pred_normals, weights
+
+
+def render_image_sphere_traced(params, grid, K, tf_world_cam, width, height,
+                               iter_nr_anneal, cfg: PermutoSDFTrainConfig,
+                               chunk: int = 8192, **trace_kwargs):
+    from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
+
+    origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
+    n = origins.shape[0]
+    pad = (-n) % chunk
+    origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+    dirs = jnp.concatenate([dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+    rgbs, normals, alphas = [], [], []
+    for i in range(0, n + pad, chunk):
+        rgb, nrm, w = render_rays_sphere_traced(
+            params, grid, origins[i : i + chunk], dirs[i : i + chunk],
+            iter_nr_anneal, cfg, **trace_kwargs,
+        )
+        rgbs.append(np.asarray(rgb))
+        normals.append(np.asarray(nrm))
+        alphas.append(np.asarray(w))
     rgb = np.concatenate(rgbs)[:n].reshape(height, width, 3)
     nrm = np.concatenate(normals)[:n].reshape(height, width, 3)
     alpha = np.concatenate(alphas)[:n].reshape(height, width, 1)
