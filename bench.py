@@ -11,10 +11,21 @@ Baseline: the reference runs this step in ~62 ms on the author's GPU
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the full train-step graph takes minutes to
+# compile through the TPU tunnel; cache hits make repeated bench runs fast.
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 

@@ -1,0 +1,125 @@
+"""Evaluation driver: meshes, rendered test images, Chamfer, PSNR.
+
+Covers the reference's evaluation experiment scripts
+(``/root/reference/permuto_sdf_py/experiments/evaluation/``):
+``create_my_meshes.py`` (marching cubes at high res from checkpoints),
+``create_my_images.py`` (render test views), ``evaluate_chamfer_distance.py``
+(DTUeval protocol) and ``evaluate_psnr.py`` (PSNR/SSIM on test views) — as
+one CLI with subcommands operating on this framework's checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def cmd_create_mesh(args):
+    import jax
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.models.fields import sdf_apply
+    from permuto_sdf_tpu.ops.marching_cubes import extract_mesh_from_sdf_fn
+    from permuto_sdf_tpu.datasets.mesh_io import Mesh, save_obj
+
+    cfg = tps.PermutoSDFTrainConfig()
+    params, grid = tps.load_from_checkpoint(args.ckpt, cfg)
+
+    @jax.jit
+    def sdf_fn(pts):
+        return sdf_apply(params["sdf"], pts, 9_999_999, cfg.sdf_model)[0]
+
+    V, F = extract_mesh_from_sdf_fn(sdf_fn, args.res, -0.5, 0.5)
+    save_obj(args.out, Mesh(V, F))
+    print(f"mesh: {len(V)} verts {len(F)} faces -> {args.out}")
+
+
+def cmd_render_images(args):
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.datasets.dtu import load_dtu_scene
+
+    cfg = tps.PermutoSDFTrainConfig()
+    params, grid = tps.load_from_checkpoint(args.ckpt, cfg)
+    reel = load_dtu_scene(args.scene_dir, low_res=args.low_res)
+    os.makedirs(args.out_dir, exist_ok=True)
+    import imageio.v2 as imageio
+
+    for i in range(reel.nr_images):
+        rgb, nrm, alpha = tps.render_image(
+            params, grid, reel.K[i], reel.tf_world_cam[i],
+            reel.width, reel.height, 9_999_999, cfg,
+        )
+        imageio.imwrite(os.path.join(args.out_dir, f"{i:06d}.png"),
+                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+    print(f"rendered {reel.nr_images} views -> {args.out_dir}")
+
+
+def cmd_chamfer(args):
+    from permuto_sdf_tpu.datasets.mesh_io import load_obj
+    from permuto_sdf_tpu.eval.chamfer import point_mesh_chamfer
+
+    pred = load_obj(args.pred_mesh)
+    gt = load_obj(args.gt_mesh)
+    both, a2b, b2a = point_mesh_chamfer(
+        pred.V, pred.F, gt.V, gt.F,
+        downsample=args.downsample, max_dist=args.max_dist,
+    )
+    print(json.dumps({"chamfer": both, "pred_to_gt": a2b, "gt_to_pred": b2a}))
+
+
+def cmd_psnr(args):
+    import imageio.v2 as imageio
+    from permuto_sdf_tpu.eval.metrics import psnr, ssim
+
+    preds = sorted(os.listdir(args.pred_dir))
+    gts = sorted(os.listdir(args.gt_dir))
+    scores_p, scores_s = [], []
+    for p, g in zip(preds, gts):
+        a = np.asarray(imageio.imread(os.path.join(args.pred_dir, p)), np.float32) / 255
+        b = np.asarray(imageio.imread(os.path.join(args.gt_dir, g)), np.float32) / 255
+        scores_p.append(float(psnr(a, b)))
+        scores_s.append(float(ssim(a, b)))
+    print(json.dumps({
+        "psnr_mean": float(np.mean(scores_p)),
+        "ssim_mean": float(np.mean(scores_s)),
+        "per_image_psnr": scores_p,
+    }))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluation tools")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("create_mesh")
+    p.add_argument("--ckpt", required=True, help="checkpoint models dir")
+    p.add_argument("--res", type=int, default=700)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_create_mesh)
+
+    p = sub.add_parser("render_images")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--scene_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--low_res", action="store_true")
+    p.set_defaults(fn=cmd_render_images)
+
+    p = sub.add_parser("chamfer")
+    p.add_argument("--pred_mesh", required=True)
+    p.add_argument("--gt_mesh", required=True)
+    p.add_argument("--downsample", type=float, default=0.0)
+    p.add_argument("--max_dist", type=float, default=float("inf"))
+    p.set_defaults(fn=cmd_chamfer)
+
+    p = sub.add_parser("psnr")
+    p.add_argument("--pred_dir", required=True)
+    p.add_argument("--gt_dir", required=True)
+    p.set_defaults(fn=cmd_psnr)
+
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

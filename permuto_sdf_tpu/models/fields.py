@@ -89,24 +89,24 @@ def sdf_apply(params, points, iter_nr, cfg: SDFConfig):
 
 def sdf_with_gradient(params, points, iter_nr, cfg: SDFConfig):
     """(sdf, d sdf / d points, geom_feat) — autograd path of
-    ``get_sdf_and_gradient`` (models.py:236-251), via one jvp per spatial dim
-    batched as a single vmapped jvp (forward-mode is exact and cheap for the
-    d<=4 input dims; reverse-of-forward gives the double backprop the
-    eikonal/curvature losses need)."""
-    d = points.shape[-1]
+    ``get_sdf_and_gradient`` (models.py:236-251): ONE reverse-mode pass
+    (vjp with unit cotangent on the sdf output), exactly like the
+    reference's ``torch.autograd.grad(create_graph=True)``. Differentiating
+    the result again (eikonal/curvature) is forward-over-reverse, which JAX
+    composes natively."""
 
     def f(p):
-        return sdf_apply(params, p, iter_nr, cfg)[0]
+        return sdf_apply(params, p, iter_nr, cfg)
 
-    basis = jnp.eye(d, dtype=points.dtype)
-
-    def one_dir(v):
-        _, t = jax.jvp(f, (points,), (jnp.broadcast_to(v, points.shape),))
-        return t[..., 0]
-
-    grads = jax.vmap(one_dir)(basis)  # [d, N]
-    sdf, geom_feat = sdf_apply(params, points, iter_nr, cfg)
-    return sdf, grads.T, geom_feat
+    (sdf, geom_feat), vjp_fn = jax.vjp(f, points)
+    cot_geom = (
+        jnp.zeros_like(geom_feat) if geom_feat is not None else None
+    )
+    if geom_feat is None:
+        (grads,) = vjp_fn((jnp.ones_like(sdf), None))
+    else:
+        (grads,) = vjp_fn((jnp.ones_like(sdf), cot_geom))
+    return sdf, grads, geom_feat
 
 
 def sdf_curvature_from_gradient(params, key, points, sdf_gradients, iter_nr,

@@ -168,6 +168,14 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.0,
         sb = tv[c_idx, t_idx][np.arange(len(c_idx))[:, None], vb]
         pa = tpos[c_idx, t_idx][np.arange(len(c_idx))[:, None], va]  # [T, 3, 3]
         pb = tpos[c_idx, t_idx][np.arange(len(c_idx))[:, None], vb]
+        # canonicalize edge direction by global corner id so every tet
+        # sharing a grid edge computes a bit-identical crossing position
+        ga = (pa[..., 0] * ny + pa[..., 1]) * nz + pa[..., 2]
+        gb = (pb[..., 0] * ny + pb[..., 1]) * nz + pb[..., 2]
+        swap = ga > gb
+        sa, sb = np.where(swap, sb, sa), np.where(swap, sa, sb)
+        sw3 = swap[..., None]
+        pa, pb = np.where(sw3, pb, pa), np.where(sw3, pa, pb)
         t = ((level - sa) / np.where(np.abs(sb - sa) < 1e-12, 1e-12, sb - sa))[..., None]
         pts = pa + np.clip(t, 0.0, 1.0) * (pb - pa)  # [T, 3, 3] grid coords
         all_tris.append(pts)
@@ -228,6 +236,13 @@ def extract_mesh_from_sdf_fn(
                 full[xi : xi + len(xs), yi : yi + len(ys), zi : zi + len(zs)] = sdf
 
     spacing = (max_val - min_val) / (nr_points_per_dim - 1.0)
-    return marching_tetrahedra(
-        full, level=threshold, origin=(min_val,) * 3, spacing=(spacing,) * 3
-    )
+    try:
+        from permuto_sdf_tpu.native import marching_tetrahedra_native
+
+        return marching_tetrahedra_native(
+            full, level=threshold, origin=(min_val,) * 3, spacing=(spacing,) * 3
+        )
+    except RuntimeError:
+        return marching_tetrahedra(
+            full, level=threshold, origin=(min_val,) * 3, spacing=(spacing,) * 3
+        )
