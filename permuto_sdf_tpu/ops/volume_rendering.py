@@ -201,11 +201,14 @@ def nerf_compute_weights(samples: RaySamples, density):
 # ---------------------------------------------------------------------------
 
 def init_variance(init_val: float = 0.3):
-    return {"variance": jnp.asarray(init_val)}
+    # shape (1,), NOT 0-d: a 0-d param leaf alongside the big hash tables
+    # makes XLA:TPU's optimizer fusion pathological (~1000x slower adam —
+    # see PERFORMANCE.md finding 5)
+    return {"variance": jnp.full((1,), init_val)}
 
 
 def variance_inv_s(params, forced_variance=None):
-    v = params["variance"] if forced_variance is None else forced_variance
+    v = params["variance"][0] if forced_variance is None else forced_variance
     return jnp.clip(jnp.exp(v * 10.0), 1e-6, 1e6)
 
 

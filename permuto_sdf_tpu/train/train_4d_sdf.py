@@ -27,7 +27,6 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
 from permuto_sdf_tpu.models.fields import SDFConfig, init_sdf, sdf_with_gradient, sdf_apply
 from permuto_sdf_tpu.ops.ray_primitives import AABB
@@ -115,8 +114,7 @@ def train_step(params, opt_state, key, gt_points_time, gt_normals, iter_nr,
         ) / 30000.0
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    params, opt_state = optimizer.update(grads, opt_state, params)
     return params, opt_state, loss
 
 

@@ -23,7 +23,6 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
 from permuto_sdf_tpu.models.fields import (
     NerfHashConfig, init_nerf_hash, nerf_hash_apply, nerf_hash_density,
@@ -94,7 +93,9 @@ def init_params(key, cfg: NerfTrainConfig, nr_cams: int):
 
 
 def make_optimizer(cfg: NerfTrainConfig):
-    return optax.adamw(cfg.lr, b1=0.9, b2=0.99, eps=1e-15, weight_decay=0.0)
+    from permuto_sdf_tpu.train.optimizers import ManualAdam
+
+    return ManualAdam(lr=cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -199,13 +200,23 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
     return loss, loss_rgb, grads
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _grads_step(params, grid, reel: TensorReel, key, iter_nr,
+                cfg: NerfTrainConfig):
+    return compute_loss_and_grads(params, grid, reel, key, iter_nr, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("optimizer",))
+def _update_step(params, opt_state, grads, optimizer):
+    return optimizer.update(grads, opt_state, params)
+
+
 def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
                cfg: NerfTrainConfig, optimizer):
-    loss, loss_rgb, grads = compute_loss_and_grads(params, grid, reel, key,
-                                                   iter_nr, cfg)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    """Two jit dispatches (grads; update) — fusing them triggers a
+    pathological XLA:TPU fusion (see PERFORMANCE.md finding 5)."""
+    loss, loss_rgb, grads = _grads_step(params, grid, reel, key, iter_nr, cfg)
+    params, opt_state = _update_step(params, opt_state, grads, optimizer)
     return params, opt_state, loss, loss_rgb
 
 

@@ -36,7 +36,6 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
 from permuto_sdf_tpu.models.fields import (
     SDFConfig, RGBConfig, NerfHashConfig,
@@ -94,6 +93,15 @@ class PermutoSDFTrainConfig:
     # encoding sizes (shrink for smoke tests)
     capacity: int = 2 ** 18
     nr_levels: int = 24
+    # static graph switches: the reference's Python `if`s become separate
+    # compiled variants. enable_curvature should be flipped off by the host
+    # once global_weight_curvature reaches 0 (train() does this), exactly
+    # like the reference stops computing the term
+    # (train_permuto_sdf.py:358-363).
+    enable_curvature: bool = True
+    enable_eikonal: bool = True
+    enable_offsurface: bool = True
+    enable_lipshitz: bool = True
 
     @property
     def iter_finish_reduce_curv(self) -> int:
@@ -165,10 +173,9 @@ def lr_schedule(cfg: PermutoSDFTrainConfig, iter_nr):
 
 
 def make_optimizer(cfg: PermutoSDFTrainConfig):
-    return optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15, eps_root=0.0),
-        optax.scale(-1.0),
-    )
+    from permuto_sdf_tpu.train.optimizers import ManualAdam
+
+    return ManualAdam(b1=0.9, b2=0.99, eps=1e-15)
 
 
 def _apply_weight_decay(params, lr_now, iter_nr, cfg: PermutoSDFTrainConfig):
@@ -298,9 +305,8 @@ def sphere_init_step(params, opt_state, key, iter_nr, cfg: PermutoSDFTrainConfig
 
     (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     lr_now = lr_schedule(cfg, iter_nr)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    updates = jax.tree_util.tree_map(lambda u: u * lr_now, updates)
-    params = optax.apply_updates(params, updates)
+    params, opt_state = optimizer.update(grads, opt_state, params,
+                                         jnp.reshape(lr_now, (1,)))
     return params, opt_state, loss
 
 
@@ -357,34 +363,40 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
 
         # eikonal over the fg samples (only valid ones)
         mask_flat = samples.flat_mask()
-        gnorm = jnp.linalg.norm(sdf_gradients, axis=-1)
         nvalid = jnp.maximum(jnp.sum(mask_flat), 1.0)
-        loss_eik = jnp.sum(jnp.where(mask_flat, (gnorm - 1.0) ** 2, 0.0)) / nvalid
-        loss = loss + loss_eik * eik_w
+        loss_eik = jnp.zeros(())
+        if cfg.enable_eikonal:
+            gnorm = jnp.linalg.norm(sdf_gradients, axis=-1)
+            loss_eik = jnp.sum(jnp.where(mask_flat, (gnorm - 1.0) ** 2, 0.0)) / nvalid
+            loss = loss + loss_eik * eik_w
 
-        # curvature (annealed off after iter_start_reduce_curv)
-        _, curvature = sdf_curvature_from_gradient(
-            p["sdf"], k_curv, samples.flat_positions(), sdf_gradients,
-            iter_nr_anneal, cfg.sdf_model,
-        )
-        loss_curv = jnp.sum(jnp.where(mask_flat[:, None], curvature, 0.0)) / nvalid
-        loss = loss + loss_curv * cfg.curvature_weight * global_weight_curvature
+        # curvature (annealed off after iter_start_reduce_curv; the host
+        # flips enable_curvature off once the weight hits 0)
+        loss_curv = jnp.zeros(())
+        if cfg.enable_curvature:
+            _, curvature = sdf_curvature_from_gradient(
+                p["sdf"], k_curv, samples.flat_positions(), sdf_gradients,
+                iter_nr_anneal, cfg.sdf_model,
+            )
+            loss_curv = jnp.sum(jnp.where(mask_flat[:, None], curvature, 0.0)) / nvalid
+            loss = loss + loss_curv * cfg.curvature_weight * global_weight_curvature
 
         # offsurface high-sdf loss (only with occupancy grid)
-        if cfg.use_occupancy_grid:
+        if cfg.use_occupancy_grid and cfg.enable_offsurface:
             off_pts = BOUND.rand_points_inside(k_off, 1024)
             sdf_rand, _ = sdf_apply(p["sdf"], off_pts, iter_nr_anneal, cfg.sdf_model)
             loss_off = jnp.mean(jnp.exp(-1e2 * jnp.abs(sdf_rand)))
             loss = loss + loss_off * cfg.offsurface_weight
 
         # lipshitz bound (after iter_start_reduce_curv)
-        from permuto_sdf_tpu.models.mlp import lipshitz_bound_full
+        if cfg.enable_lipshitz:
+            from permuto_sdf_tpu.models.mlp import lipshitz_bound_full
 
-        loss_lip = lipshitz_bound_full(p["rgb"]["mlp"])
-        loss = loss + jnp.where(
-            iter_nr_anneal >= cfg.iter_start_reduce_curv,
-            loss_lip * cfg.lipshitz_weight, 0.0,
-        )
+            loss_lip = lipshitz_bound_full(p["rgb"]["mlp"])
+            loss = loss + jnp.where(
+                iter_nr_anneal >= cfg.iter_start_reduce_curv,
+                loss_lip * cfg.lipshitz_weight, 0.0,
+            )
 
         # mask loss
         if cfg.with_mask:
@@ -406,19 +418,34 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
 def apply_updates(params, opt_state, grads, iter_nr, cfg: PermutoSDFTrainConfig,
                   optimizer):
     lr_now = lr_schedule(cfg, iter_nr)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    updates = jax.tree_util.tree_map(lambda u: u * lr_now, updates)
-    params = optax.apply_updates(params, updates)
+    params, opt_state = optimizer.update(grads, opt_state, params,
+                                         jnp.reshape(lr_now, (1,)))
     params = _apply_weight_decay(params, lr_now, iter_nr, cfg)
     return params, opt_state
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _grads_step(params, grid, reel: TensorReel, key, iter_nr,
+                cfg: PermutoSDFTrainConfig):
+    return compute_loss_and_grads(params, grid, reel, key, iter_nr, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def _update_step(params, opt_state, grads, iter_nr,
+                 cfg: PermutoSDFTrainConfig, optimizer):
+    return apply_updates(params, opt_state, grads, iter_nr, cfg, optimizer)
+
+
 def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
                cfg: PermutoSDFTrainConfig, optimizer):
-    loss, aux, grads = compute_loss_and_grads(params, grid, reel, key, iter_nr, cfg)
-    params, opt_state = apply_updates(params, opt_state, grads, iter_nr, cfg,
-                                      optimizer)
+    """One training iteration, dispatched as TWO jit graphs (grads; update).
+
+    Fusing the gradient graph with the optimizer update in one XLA program
+    triggers a pathological fusion on this TPU toolchain (7-40 s/step vs
+    ~0.7 s split — PERFORMANCE.md finding 5); two dispatches cost ~us."""
+    loss, aux, grads = _grads_step(params, grid, reel, key, iter_nr, cfg)
+    params, opt_state = _update_step(params, opt_state, grads, iter_nr, cfg,
+                                     optimizer)
     return params, opt_state, loss, aux
 
 
@@ -554,6 +581,11 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
             aux = {}
         else:
             it_anneal = it - cfg.nr_iter_sphere_fit
+            if cfg.enable_curvature and it_anneal >= cfg.iter_finish_reduce_curv:
+                # curvature weight annealed to 0 — drop the double-backprop
+                # term from the compiled graph (one re-jit), like the
+                # reference's `if global_weight_curvature>0` python branch
+                cfg = dataclasses.replace(cfg, enable_curvature=False)
             if cfg.use_occupancy_grid and it % cfg.grid_update_every == 0:
                 grid = occupancy_update(params, grid, k_grid, it_anneal,
                                         last_inv_s, cfg)

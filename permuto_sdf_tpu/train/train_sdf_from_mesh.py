@@ -24,7 +24,6 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
 from permuto_sdf_tpu.models.fields import SDFConfig, init_sdf, sdf_with_gradient
 from permuto_sdf_tpu.ops.ray_primitives import AABB
@@ -41,9 +40,12 @@ from permuto_sdf_tpu.train import checkpoint as ckpt
 
 
 def make_optimizer(lr: float = 1e-3):
-    """AdamW with the reference's hyperparameters (betas 0.9/0.99, eps 1e-15,
-    no weight decay) — train_sdf_from_mesh.py:45 / train_permuto_sdf.py:303."""
-    return optax.adamw(lr, b1=0.9, b2=0.99, eps=1e-15, weight_decay=0.0)
+    """Adam with the reference's hyperparameters (betas 0.9/0.99, eps 1e-15,
+    no weight decay) — train_sdf_from_mesh.py:45 / train_permuto_sdf.py:303.
+    See train/optimizers.py for why not optax."""
+    from permuto_sdf_tpu.train.optimizers import ManualAdam
+
+    return ManualAdam(lr=lr, b1=0.9, b2=0.99, eps=1e-15)
 
 
 @functools.partial(
@@ -72,8 +74,7 @@ def train_step(params, opt_state, key, gt_points, gt_normals, iter_nr,
         return sdf_loss(s_sdf, s_grad, o_sdf, o_grad, surface_normals) / 30000.0
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    params, opt_state = optimizer.update(grads, opt_state, params)
     return params, opt_state, loss
 
 
