@@ -556,12 +556,28 @@ def render_image_sphere_traced(params, grid, K, tf_world_cam, width, height,
 # Training loop
 # ---------------------------------------------------------------------------
 
+def _ray_bucket(n: int, lo: int = 128, hi: int = 4096) -> int:
+    """Snap a desired ray count to a power-of-2 bucket so the step re-jits
+    at most log2(hi/lo) times."""
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return b
+
+
 def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
           nr_iters: int | None = None, seed: int = 0, log_every: int = 1000,
           checkpoint_path: str | None = None,
           experiment_name: str = "permuto_sdf", save_every: int = 10000,
-          callbacks=None):
+          callbacks=None, dynamic_nr_rays: bool = True):
+    """``dynamic_nr_rays`` is the reference's load-balancing trick
+    (train_permuto_sdf.py:394-397): rescale the ray count so the total
+    packed sample count stays near target_nr_of_samples — here snapped to
+    power-of-2 buckets to keep shapes static per compiled variant."""
     nr_iters = nr_iters or cfg.iter_finish_training
+    target_nr_samples = cfg.nr_rays * (
+        cfg.max_nr_samples_per_ray + 2 * cfg.nr_samples_imp_sampling
+    )
     key = jax.random.PRNGKey(seed)
     params = init_params(jax.random.fold_in(key, 0), cfg, reel.nr_images)
     optimizer = make_optimizer(cfg)
@@ -593,6 +609,14 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                 params, opt_state, grid, reel, k_step, it, cfg, optimizer
             )
             last_inv_s = aux["inv_s"]
+            if dynamic_nr_rays and it % 50 == 0:
+                # rebalance ray count toward the fixed sample budget
+                # (host-side; fetches one scalar)
+                cur = max(float(aux["nr_samples"]), 1.0)
+                want = int(cfg.nr_rays * target_nr_samples / cur)
+                bucket = _ray_bucket(want)
+                if bucket != cfg.nr_rays:
+                    cfg = dataclasses.replace(cfg, nr_rays=bucket)
 
         if it % log_every == 0 or it == nr_iters - 1:
             lv = float(loss)
@@ -641,10 +665,16 @@ def load_from_checkpoint(ckpt_path_full: str, cfg: PermutoSDFTrainConfig):
         pass
     try:
         grid_tree = ckpt.load_model(ckpt_path_full, "occupancy_grid")
-        grid = og.OccupancyGridState(
-            values=jnp.asarray(grid_tree["values"]),
-            occupancy=jnp.asarray(grid_tree["occupancy"]),
-        )
+        if isinstance(grid_tree, og.OccupancyGridState):
+            grid = og.OccupancyGridState(
+                values=jnp.asarray(grid_tree.values),
+                occupancy=jnp.asarray(grid_tree.occupancy),
+            )
+        else:
+            grid = og.OccupancyGridState(
+                values=jnp.asarray(grid_tree["values"]),
+                occupancy=jnp.asarray(grid_tree["occupancy"]),
+            )
     except FileNotFoundError:
         grid = None
     return params, grid

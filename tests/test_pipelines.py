@@ -1,0 +1,107 @@
+"""End-to-end pipeline tests (tiny configs, CPU) for all four trainers.
+
+These are the pytest form of the entry points' --smoke modes: every
+pipeline must run a few dozen iterations and reduce its loss.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from permuto_sdf_tpu.datasets.mesh_io import make_uv_sphere
+from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+from permuto_sdf_tpu.models.fields import SDFConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_reel():
+    return make_synthetic_reel(nr_views=3, width=32, height=32)
+
+
+def test_train_sdf_from_mesh_smoke():
+    from permuto_sdf_tpu.train import train_sdf_from_mesh as t
+
+    cfg = SDFConfig(geom_feat_size_out=0, nr_iters_for_c2f=50,
+                    capacity=2 ** 10, nr_levels=4)
+    params, cfg, hist = t.train(
+        make_uv_sphere(radius=0.3), nr_iters=120, cfg=cfg, nr_surface=256,
+        nr_offsurface=512, surface_pool_size=5000, log_every=20,
+    )
+    assert hist[-1][1] < hist[0][1] * 0.7
+
+
+def test_train_4d_sdf_smoke():
+    from permuto_sdf_tpu.train import train_4d_sdf as t
+
+    pts, nrm = t.procedural_sequence_points(nr_frames=3, points_per_frame=2000)
+    cfg = SDFConfig(in_channels=4, geom_feat_size_out=0, nr_iters_for_c2f=50,
+                    capacity=2 ** 10, nr_levels=4)
+    params, cfg, hist = t.train(pts, nrm, nr_iters=120, cfg=cfg,
+                                nr_surface=256, nr_offsurface=256, log_every=20)
+    assert hist[-1][1] < hist[0][1] * 0.7
+
+
+def test_train_nerf_smoke(tiny_reel):
+    from permuto_sdf_tpu.train import train_nerf as t
+
+    cfg = t.NerfTrainConfig(capacity=2 ** 10, nr_levels=4, nr_rays=64,
+                            grid_nr_voxels_per_dim=16,
+                            grid_nr_random_samples=512,
+                            max_nr_samples_per_ray=16, nr_samples_bg=4)
+    params, grid, hist = t.train(tiny_reel, cfg, nr_iters=100, log_every=20)
+    assert hist[-1][1] < hist[0][1]
+
+
+def test_train_permuto_sdf_smoke(tiny_reel):
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32, nr_iter_sphere_fit=20,
+        sphere_init_points=512, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=512, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=20,
+        sdf_nr_iters_for_c2f=50, forced_variance_finish_iter=100,
+    )
+    params, grid, hist = t.train(tiny_reel, cfg, nr_iters=100, log_every=20,
+                                 dynamic_nr_rays=True)
+    post = [h for h in hist if h[0] >= cfg.nr_iter_sphere_fit and h[2] is not None]
+    assert len(post) >= 2
+    assert np.isfinite(post[-1][1])
+    # checkpoint roundtrip
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    t._save(d, "exp", 100, params, grid)
+    params2, grid2 = t.load_from_checkpoint(
+        os.path.join(d, "exp", "100", "models"), cfg
+    )
+    a = jax.tree_util.tree_leaves(params["sdf"])
+    b = jax.tree_util.tree_leaves(params2["sdf"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sphere_traced_render_runs(tiny_reel):
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+    )
+    params = t.init_params(jax.random.PRNGKey(0), cfg, tiny_reel.nr_images)
+    grid = og.make_occupancy_grid(cfg.grid)
+    rgb, nrm, alpha = t.render_image_sphere_traced(
+        params, grid, tiny_reel.K[0], tiny_reel.tf_world_cam[0], 16, 16,
+        1000, cfg, chunk=256,
+    )
+    assert rgb.shape == (16, 16, 3) and np.isfinite(rgb).all()
+
+    rgbv, nrmv, av = t.render_image(
+        params, grid, tiny_reel.K[0], tiny_reel.tf_world_cam[0], 16, 16,
+        1000, cfg, chunk=256,
+    )
+    assert rgbv.shape == (16, 16, 3) and np.isfinite(rgbv).all()
