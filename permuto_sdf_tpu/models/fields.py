@@ -77,10 +77,15 @@ def init_sdf(key, cfg: SDFConfig) -> dict:
     return {"encoding": enc, "mlp_sdf": mlp}
 
 
-def sdf_apply(params, points, iter_nr, cfg: SDFConfig):
-    """points [N, d] -> (sdf [N, 1], geom_feat [N, G] or None)."""
+def sdf_apply(params, points, iter_nr, cfg: SDFConfig, max_levels=None):
+    """points [N, d] -> (sdf [N, 1], geom_feat [N, G] or None).
+
+    ``max_levels`` (static) evaluates only the coarsest K encoding levels
+    (zero-filling the rest) — a cheap geometry proxy for sample placement;
+    see :func:`permuto_encode`."""
     window = coarse2fine_window(_c2f_t(iter_nr, cfg.nr_iters_for_c2f), cfg.nr_levels)
-    feats = permuto_encode(params["encoding"], points, cfg.encoding, window)
+    feats = permuto_encode(params["encoding"], points, cfg.encoding, window,
+                           max_levels=max_levels)
     out = mlp_apply(params["mlp_sdf"], feats)
     if cfg.geom_feat_size_out:
         return out[:, 0:1], out[:, -cfg.geom_feat_size_out:]

@@ -75,6 +75,12 @@ class PermutoSDFTrainConfig:
     max_nr_samples_per_ray: int = 64
     nr_samples_imp_sampling: int = 16
     do_importance_sampling: bool = True
+    # Coarse-level SDF proxy for importance sampling (None = all levels).
+    # Sample PLACEMENT only needs approximate geometry; the proxy skips the
+    # gathers of the finest levels, which dominate the no-grad sampling
+    # stage on TPU (XLA gathers are instance-cost-bound; see PERFORMANCE.md).
+    # The final render always re-evaluates the full-resolution SDF.
+    imp_sampling_max_levels: int | None = 16
     use_color_calibration: bool = True
     nr_rays: int = 512
     sdf_geom_feat_size: int = 32
@@ -214,7 +220,8 @@ def _create_fg_samples(params, grid, key, origins, dirs, t_entry, t_exit,
         )
     if cfg.do_importance_sampling:
         sdf_fn = lambda pts: sdf_apply(params["sdf"], pts, iter_nr_anneal,
-                                       cfg.sdf_model)[0]
+                                       cfg.sdf_model,
+                                       max_levels=cfg.imp_sampling_max_levels)[0]
         samples = importance_sampling_sdf_model(
             sdf_fn, samples, t_exit, k_imp, cfg.nr_samples_imp_sampling,
             jitter=jitter,
@@ -313,11 +320,16 @@ def sphere_init_step(params, opt_state, key, iter_nr, cfg: PermutoSDFTrainConfig
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
                      cfg: PermutoSDFTrainConfig):
-    """SDF-based occupancy refresh (train_permuto_sdf.py:386-392)."""
+    """SDF-based occupancy refresh (train_permuto_sdf.py:386-392).
+
+    Uses the coarse-level SDF proxy (``imp_sampling_max_levels``): at 256^3
+    the voxel size is far coarser than the finest encoding levels, so the
+    occupancy band test never depends on them."""
     centers, lin = og.compute_random_sample_of_grid_points(
         cfg.grid, key, cfg.grid_nr_random_samples, jitter=True
     )
-    sdf, _ = sdf_apply(params["sdf"], centers, iter_nr_anneal, cfg.sdf_model)
+    sdf, _ = sdf_apply(params["sdf"], centers, iter_nr_anneal, cfg.sdf_model,
+                       max_levels=cfg.imp_sampling_max_levels)
     return og.update_with_sdf_random_sample(
         cfg.grid, grid, lin, sdf, inv_s, cfg.grid_occupancy_thresh
     )

@@ -265,3 +265,37 @@ def test_jit_and_vmap_compose():
     single = f(pts[0])
     np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_max_levels_matches_zeroed_window():
+    """Truncated-level proxy == full encode with a window that zeroes the
+    fine levels (the gathers for those levels are simply never issued)."""
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 10, nr_levels=8)
+    params = init_encoding_params(jax.random.PRNGKey(3), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(4), (64, 3), minval=-0.5, maxval=0.5)
+    K = 5
+    win = jnp.ones(spec.nr_levels).at[K:].set(0.0)
+    full = permuto_encode(params, pts, spec, window=win)
+    trunc = permuto_encode(params, pts, spec, max_levels=K)
+    np.testing.assert_allclose(np.asarray(trunc), np.asarray(full),
+                               rtol=1e-6, atol=1e-7)
+    # shape is unchanged (zero-filled), and it composes with a window
+    assert trunc.shape == (64, spec.output_dims)
+    win2 = coarse2fine_window(0.7, spec.nr_levels)
+    a = permuto_encode(params, pts, spec, window=win2, max_levels=K)
+    b = permuto_encode(params, pts, spec, window=win2 * win)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_max_levels_gradients_flow_only_to_active_levels():
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 9, nr_levels=6)
+    params = init_encoding_params(jax.random.PRNGKey(5), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(6), (32, 3), minval=-0.5, maxval=0.5)
+
+    def loss(table):
+        p = {**params, "lattice_values": table}
+        return jnp.sum(permuto_encode(p, pts, spec, max_levels=3) ** 2)
+
+    g = np.asarray(jax.grad(loss)(params["lattice_values"]))
+    assert np.abs(g[:3]).sum() > 0
+    np.testing.assert_allclose(g[3:], 0.0)
