@@ -76,6 +76,62 @@ def random_rays_from_reel(reel: TensorReel, key, nr_rays: int):
     return t, dirs, gt_rgb, gt_mask, img_idx
 
 
+def rays_from_reprojection_reel(reel: TensorReel, key, points_reprojected):
+    """Rays that look at given 3D points from random training cameras —
+    equivalent of ``PermutoSDF::rays_from_reprojection_reel``
+    (``src/PermutoSDF.cu:114-163``, kernel ``PermutoSDFGPU.cuh:130-268``).
+
+    Each point is projected into one randomly chosen camera; if the
+    projection lands outside the image, a uniformly random pixel of that
+    camera is used instead (so every ray is always valid). The ray is then
+    rebuilt from the (possibly replaced) pixel center's back-projection.
+
+    -> (ray_origins [N,3], ray_dirs [N,3], gt_rgb [N,3], gt_mask [N,1],
+    img_indices [N]).
+    """
+    pts = jnp.asarray(points_reprojected)
+    n_pts = pts.shape[0]
+    k_img, k_pix = jax.random.split(key)
+    n, h, w = reel.nr_images, reel.height, reel.width
+    img_idx = jax.random.randint(k_img, (n_pts,), 0, n)
+    rand_pix = jax.random.randint(k_pix, (n_pts,), 0, h * w)
+
+    tf = reel.tf_world_cam[img_idx]  # [N, 4, 4] cam->world
+    R_wc = tf[:, :3, :3]
+    t_wc = tf[:, :3, 3]
+    # world->cam is the inverse rigid transform
+    cam_pts = jnp.einsum("rji,rj->ri", R_wc, pts - t_wc)
+
+    K = reel.K[img_idx]
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    sx = cam_pts[:, 0] * fx / cam_pts[:, 2] + cx
+    sy = cam_pts[:, 1] * fy / cam_pts[:, 2] + cy
+
+    in_bounds = (
+        (jnp.floor(sx) >= 0) & (jnp.floor(sx) < w)
+        & (jnp.floor(sy) >= 0) & (jnp.floor(sy) < h)
+    )
+    # out-of-bounds projections fall back to a random pixel center
+    sx = jnp.where(in_bounds, sx, (rand_pix % w).astype(sx.dtype) + 0.5)
+    sy = jnp.where(in_bounds, sy, (rand_pix // w).astype(sy.dtype) + 0.5)
+
+    cam = jnp.stack([(sx - cx) / fx, (sy - cy) / fy, jnp.ones_like(sx)], axis=-1)
+    world = jnp.einsum("rij,rj->ri", R_wc, cam) + t_wc
+    dirs = world - t_wc
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    yi = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
+    gt_rgb = reel.rgb[img_idx, yi, xi]
+    if reel.mask is not None:
+        gt_mask = reel.mask[img_idx, yi, xi]
+        gt_rgb = gt_rgb * gt_mask
+    else:
+        gt_mask = jnp.ones((n_pts, 1), gt_rgb.dtype)
+    return t_wc, dirs, gt_rgb, gt_mask, img_idx
+
+
 def rays_from_frame(K, tf_world_cam, width: int, height: int):
     """All-pixel ray generation for one frame — equivalent of
     ``create_rays_from_frame`` (``permuto_sdf_py/utils/nerf_utils.py:459-500``)
