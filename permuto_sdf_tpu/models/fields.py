@@ -52,6 +52,11 @@ class SDFConfig:
     capacity: int = 2 ** 18
     nr_levels: int = 24
     sdf_shift: float = 1e-2  # init bias so the SDF starts positive
+    # Spatial-gradient AD direction: "forward" (jvp, TPU-fast: no
+    # gather-transpose in the gradient graph) or "reverse" (vjp, the
+    # literal torch.autograd.grad analog). Identical values either way —
+    # see sdf_with_gradient.
+    gradient_mode: str = "forward"
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -93,13 +98,29 @@ def sdf_apply(params, points, iter_nr, cfg: SDFConfig, max_levels=None):
 
 
 def sdf_with_gradient(params, points, iter_nr, cfg: SDFConfig):
-    """(sdf, d sdf / d points, geom_feat) — autograd path of
-    ``get_sdf_and_gradient`` (models.py:236-251): ONE reverse-mode pass
-    (vjp with unit cotangent on the sdf output), exactly like the
-    reference's ``torch.autograd.grad(create_graph=True)``. Differentiating
-    the result again (eikonal/curvature) is forward-over-reverse, which JAX
-    composes natively."""
+    """(sdf, d sdf / d points, geom_feat) — equivalent of
+    ``get_sdf_and_gradient`` (models.py:236-251).
 
+    Dispatches on ``cfg.gradient_mode``:
+
+    - ``"forward"`` (default): d-tangent forward-mode Jacobian. On TPU this
+      is the right direction: the tangent of a hash-table gather w.r.t. the
+      *points* reuses the already-gathered features (only the barycentric
+      weights carry derivatives), so the spatial gradient costs ZERO extra
+      gathers — and, crucially, its graph contains no gather-transpose
+      (scatter). When the training loss then backprops through this
+      (eikonal/curvature double backprop), it reverses a gather-only graph
+      once, instead of the reference's reverse-over-reverse which rebuilds
+      scatter chains. Mathematically identical to reverse mode.
+    - ``"reverse"``: ONE reverse-mode pass (vjp with unit cotangent), the
+      literal analog of ``torch.autograd.grad(create_graph=True)``.
+    """
+    if getattr(cfg, "gradient_mode", "forward") == "forward":
+        return _sdf_with_gradient_fwd(params, points, iter_nr, cfg)
+    return _sdf_with_gradient_rev(params, points, iter_nr, cfg)
+
+
+def _sdf_with_gradient_rev(params, points, iter_nr, cfg: SDFConfig):
     def f(p):
         return sdf_apply(params, p, iter_nr, cfg)
 
@@ -111,6 +132,24 @@ def sdf_with_gradient(params, points, iter_nr, cfg: SDFConfig):
         (grads,) = vjp_fn((jnp.ones_like(sdf), None))
     else:
         (grads,) = vjp_fn((jnp.ones_like(sdf), cot_geom))
+    return sdf, grads, geom_feat
+
+
+def _sdf_with_gradient_fwd(params, points, iter_nr, cfg: SDFConfig):
+    d = points.shape[-1]
+
+    def f_jvp(tangent):
+        return jax.jvp(
+            lambda p: sdf_apply(params, p, iter_nr, cfg), (points,), (tangent,)
+        )
+
+    eye = jnp.eye(d, dtype=points.dtype)
+    tangents = jnp.broadcast_to(eye[:, None, :], (d,) + points.shape)
+    (sdf, geom_feat), (dsdf, _) = jax.vmap(f_jvp, out_axes=((None, None), 0))(
+        tangents
+    )
+    # dsdf: [d, N, 1] -> grads [N, d]
+    grads = jnp.moveaxis(dsdf[..., 0], 0, -1)
     return sdf, grads, geom_feat
 
 

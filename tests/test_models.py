@@ -134,3 +134,42 @@ def test_models_are_jittable_and_differentiable():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_sdf_gradient_forward_vs_reverse_mode():
+    """Forward-mode (jvp) and reverse-mode (vjp) spatial gradients must be
+    identical — including the PARAMETER gradients of a second-order
+    (eikonal-style) loss built on top of them."""
+    import dataclasses as _dc
+    from permuto_sdf_tpu.models.fields import (
+        SDFConfig, init_sdf, sdf_with_gradient,
+    )
+
+    cfg_f = SDFConfig(capacity=2 ** 9, nr_levels=4, nr_iters_for_c2f=1,
+                      gradient_mode="forward")
+    cfg_r = _dc.replace(cfg_f, gradient_mode="reverse")
+    params = init_sdf(jax.random.PRNGKey(0), cfg_f)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (40, 3), minval=-0.4,
+                             maxval=0.4)
+
+    s_f, g_f, gf_f = sdf_with_gradient(params, pts, 100, cfg_f)
+    s_r, g_r, gf_r = sdf_with_gradient(params, pts, 100, cfg_r)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_f), np.asarray(gf_r), rtol=1e-5,
+                               atol=1e-7)
+
+    def eikonal(p, cfg):
+        _, grads, _ = sdf_with_gradient(p, pts, 100, cfg)
+        return jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
+
+    from jax.flatten_util import ravel_pytree
+    tg_f = jax.grad(eikonal)(params, cfg_f)
+    tg_r = jax.grad(eikonal)(params, cfg_r)
+    flat_f, _ = ravel_pytree(tg_f)
+    flat_r, _ = ravel_pytree(tg_r)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
+                               rtol=1e-4, atol=1e-7)
+    assert float(jnp.abs(flat_f).sum()) > 0
