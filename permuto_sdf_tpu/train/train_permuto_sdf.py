@@ -81,6 +81,9 @@ class PermutoSDFTrainConfig:
     # stage on TPU (XLA gathers are instance-cost-bound; see PERFORMANCE.md).
     # The final render always re-evaluates the full-resolution SDF.
     imp_sampling_max_levels: int | None = 16
+    # "forward" (TPU-fast jvp) or "reverse" (torch-autograd analog); the
+    # spatial gradients are identical either way (see models/fields.py).
+    sdf_gradient_mode: str = "forward"
     use_color_calibration: bool = True
     nr_rays: int = 512
     sdf_geom_feat_size: int = 32
@@ -119,6 +122,7 @@ class PermutoSDFTrainConfig:
             in_channels=3, geom_feat_size_out=self.sdf_geom_feat_size,
             nr_iters_for_c2f=self.sdf_nr_iters_for_c2f,
             capacity=self.capacity, nr_levels=self.nr_levels,
+            gradient_mode=self.sdf_gradient_mode,
         )
 
     @property
