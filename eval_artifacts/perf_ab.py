@@ -41,6 +41,7 @@ for name, v in variants.items():
     s, c = step_time(cfg)
     print(f"{name:45s}: {s*1000:8.1f} ms/step  (compile {c:.0f}s)", flush=True)
 
+import sys as _s; _s.exit(0)
 # fused single-jit step with the new defaults — does forward mode avoid the
 # optimizer-fusion pathology (PERFORMANCE.md finding 5)?
 import functools

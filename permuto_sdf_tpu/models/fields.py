@@ -52,11 +52,10 @@ class SDFConfig:
     capacity: int = 2 ** 18
     nr_levels: int = 24
     sdf_shift: float = 1e-2  # init bias so the SDF starts positive
-    # Spatial-gradient AD direction: "forward" (jvp, TPU-fast: no
-    # gather-transpose in the gradient graph) or "reverse" (vjp, the
-    # literal torch.autograd.grad analog). Identical values either way —
-    # see sdf_with_gradient.
-    gradient_mode: str = "forward"
+    # Spatial-gradient AD direction: "reverse" (vjp, the literal
+    # torch.autograd.grad analog; measured fastest on TPU v5e) or
+    # "forward" (jvp). Identical values either way — see sdf_with_gradient.
+    gradient_mode: str = "reverse"
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -103,19 +102,19 @@ def sdf_with_gradient(params, points, iter_nr, cfg: SDFConfig):
 
     Dispatches on ``cfg.gradient_mode``:
 
-    - ``"forward"`` (default): d-tangent forward-mode Jacobian. On TPU this
-      is the right direction: the tangent of a hash-table gather w.r.t. the
-      *points* reuses the already-gathered features (only the barycentric
-      weights carry derivatives), so the spatial gradient costs ZERO extra
-      gathers — and, crucially, its graph contains no gather-transpose
-      (scatter). When the training loss then backprops through this
-      (eikonal/curvature double backprop), it reverses a gather-only graph
-      once, instead of the reference's reverse-over-reverse which rebuilds
-      scatter chains. Mathematically identical to reverse mode.
-    - ``"reverse"``: ONE reverse-mode pass (vjp with unit cotangent), the
-      literal analog of ``torch.autograd.grad(create_graph=True)``.
+    - ``"reverse"`` (default): ONE reverse-mode pass (vjp with unit
+      cotangent), the literal analog of
+      ``torch.autograd.grad(create_graph=True)``. Measured fastest at
+      flagship scale on TPU v5e (737 vs 780 ms/step).
+    - ``"forward"``: d-tangent forward-mode Jacobian. The tangent of a
+      hash-table gather w.r.t. the *points* reuses the already-gathered
+      features (only barycentric weights carry derivatives), so it issues
+      no extra gathers and no gather-transpose (scatter) at first order —
+      but the 3x tangent flow through the MLPs costs more than it saves
+      (XLA already CSEs the shared gathers in the reverse path).
+      Mathematically identical to reverse mode.
     """
-    if getattr(cfg, "gradient_mode", "forward") == "forward":
+    if getattr(cfg, "gradient_mode", "reverse") == "forward":
         return _sdf_with_gradient_fwd(params, points, iter_nr, cfg)
     return _sdf_with_gradient_rev(params, points, iter_nr, cfg)
 

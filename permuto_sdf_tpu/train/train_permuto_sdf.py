@@ -80,10 +80,17 @@ class PermutoSDFTrainConfig:
     # gathers of the finest levels, which dominate the no-grad sampling
     # stage on TPU (XLA gathers are instance-cost-bound; see PERFORMANCE.md).
     # The final render always re-evaluates the full-resolution SDF.
-    imp_sampling_max_levels: int | None = 16
-    # "forward" (TPU-fast jvp) or "reverse" (torch-autograd analog); the
+    # Default None: measured on TPU v5e the truncation does NOT pay at the
+    # flagship scale (737 -> 752 ms/step; the sampling stage is not
+    # gather-bound there — see PERFORMANCE.md); it DOES pay for larger
+    # sample budgets / level counts, so the knob stays.
+    imp_sampling_max_levels: int | None = None
+    # "forward" (jvp) or "reverse" (vjp, the torch-autograd analog); the
     # spatial gradients are identical either way (see models/fields.py).
-    sdf_gradient_mode: str = "forward"
+    # Default reverse: measured 737 vs 780 ms/step on TPU v5e at flagship
+    # scale — the 3-tangent forward pass costs more than the
+    # gather-transpose it avoids (XLA already CSEs the shared gathers).
+    sdf_gradient_mode: str = "reverse"
     use_color_calibration: bool = True
     nr_rays: int = 512
     sdf_geom_feat_size: int = 32
