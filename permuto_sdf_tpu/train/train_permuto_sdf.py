@@ -550,6 +550,64 @@ def render_rays_sphere_traced(params, grid, origins, dirs, iter_nr_anneal,
     return pred_rgb, pred_normals, weights
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "nr_rounds",
+                                              "iters_per_round",
+                                              "sdf_multiplier",
+                                              "sdf_converged_tresh",
+                                              "first_bucket_fraction"))
+def render_rays_sphere_traced_compacted(
+        params, grid, origins, dirs, iter_nr_anneal,
+        cfg: PermutoSDFTrainConfig, nr_rounds: int = 5,
+        iters_per_round: int = 3, sdf_multiplier: float = 0.9,
+        sdf_converged_tresh: float = 2e-4,
+        first_bucket_fraction: float = 0.25):
+    """Interactive-path renderer: static-shape ray compaction for BOTH the
+    trace (ops/sphere_trace.py::sphere_trace_compacted) and the final
+    shading pass — only converged surface hits pay the full-resolution
+    SDF-gradient + RGB evaluation; background rays cost one grid traversal.
+    Handles full frames in one call (no chunking needed)."""
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_compacted
+
+    def sdf_fn(p):
+        return sdf_apply(params["sdf"], p, iter_nr_anneal, cfg.sdf_model)[0]
+
+    grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
+    pos, sdf, converged, alive = sphere_trace_compacted(
+        sdf_fn, origins, dirs, BOUND, nr_rounds, iters_per_round,
+        sdf_multiplier, sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
+        first_bucket_fraction=first_bucket_fraction,
+    )
+
+    in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
+    if grid_cfg is not None:
+        in_bounds = in_bounds & og.check_occupancy(grid_cfg, grid, pos)
+    lit = converged & alive & in_bounds
+
+    # compacted shading: gather the hits, shade, scatter back
+    R = origins.shape[0]
+    bucket = min(R, max(256, int(R * first_bucket_fraction)))
+    (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], 0)
+    dirs_p = jnp.concatenate([dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]],
+                                                         dirs.dtype), (1, 1))], 0)
+    sub_pos = pos_p[idx]
+    sub_dirs = dirs_p[idx]
+    sdf_end, grads_end, geom_end = sdf_with_gradient(
+        params["sdf"], sub_pos, iter_nr_anneal, cfg.sdf_model
+    )
+    sub_rgb = rgb_apply(params["rgb"], sub_pos, sub_dirs, grads_end, geom_end,
+                        iter_nr_anneal, cfg.rgb_model)
+    sub_normals = grads_end / (
+        jnp.linalg.norm(grads_end, axis=-1, keepdims=True) + 1e-12
+    )
+    valid = (idx < R)[:, None].astype(sub_rgb.dtype)
+    pred_rgb = jnp.zeros((R + 1, 3), sub_rgb.dtype).at[idx].set(sub_rgb * valid)[:R]
+    pred_normals = jnp.zeros((R + 1, 3), sub_rgb.dtype).at[idx].set(
+        sub_normals * valid)[:R]
+    weights = lit.astype(jnp.float32)[:, None]
+    return pred_rgb * weights, pred_normals * weights, weights
+
+
 def render_image_sphere_traced(params, grid, K, tf_world_cam, width, height,
                                iter_nr_anneal, cfg: PermutoSDFTrainConfig,
                                chunk: int = 8192, **trace_kwargs):

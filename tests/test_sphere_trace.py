@@ -1,0 +1,118 @@
+"""Tests for sphere tracing (ops/sphere_trace.py), incl. the compacted
+static-shape re-binning variant (BASELINE "hard part #5")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from permuto_sdf_tpu.ops.sphere_trace import sphere_trace, sphere_trace_compacted
+from permuto_sdf_tpu.ops.ray_primitives import Sphere
+from permuto_sdf_tpu.ops import occupancy_grid as og
+
+BOUND = Sphere(0.5, (0.0, 0.0, 0.0))
+RADIUS = 0.25
+
+
+def _sdf(p):
+    return jnp.linalg.norm(p, axis=-1) - RADIUS
+
+
+def _rays(n=512):
+    ang_x = jnp.linspace(-0.45, 0.45, n)
+    dirs = jnp.stack([jnp.sin(ang_x), jnp.zeros(n), jnp.cos(ang_x)], -1)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (n, 1))
+    return origins, dirs
+
+
+def _grid_for_sphere(n=64):
+    cfg = og.OccupancyGridConfig(nr_voxels_per_dim=n)
+    xs = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n - 0.5
+    X, Y, Z = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    r = jnp.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    occ = (jnp.abs(r - RADIUS) < 3.0 / n).reshape(-1)
+    grid = og.OccupancyGridState(values=jnp.zeros(n ** 3), occupancy=occ)
+    return cfg, grid
+
+
+def test_sphere_trace_converges_to_analytic_surface():
+    origins, dirs = _rays()
+    pos, sdf, conv, within = sphere_trace(_sdf, origins, dirs, BOUND,
+                                          nr_sphere_traces=20)
+    conv = np.asarray(conv)
+    assert conv.mean() > 0.3  # central rays hit
+    r = np.linalg.norm(np.asarray(pos)[conv], axis=-1)
+    np.testing.assert_allclose(r, RADIUS, atol=5e-4)
+
+
+def test_compacted_matches_plain_trace():
+    origins, dirs = _rays()
+    cfg, grid = _grid_for_sphere()
+    pos_a, sdf_a, conv_a, within_a = sphere_trace(
+        _sdf, origins, dirs, BOUND, nr_sphere_traces=15,
+        grid_cfg=cfg, grid=grid,
+    )
+    pos_b, sdf_b, conv_b, within_b = sphere_trace_compacted(
+        _sdf, origins, dirs, BOUND, nr_rounds=5, iters_per_round=3,
+        grid_cfg=cfg, grid=grid, first_bucket_fraction=1.0,
+    )
+    conv_a = np.asarray(conv_a); conv_b = np.asarray(conv_b)
+    # same rays converge (full first bucket -> no dropped rays)
+    np.testing.assert_array_equal(conv_a, conv_b)
+    hit = conv_a & conv_b
+    np.testing.assert_allclose(np.asarray(pos_a)[hit], np.asarray(pos_b)[hit],
+                               atol=1e-5)
+    r = np.linalg.norm(np.asarray(pos_b)[hit], axis=-1)
+    np.testing.assert_allclose(r, RADIUS, atol=5e-4)
+
+
+def test_compacted_small_bucket_degrades_gracefully():
+    origins, dirs = _rays()
+    cfg, grid = _grid_for_sphere()
+    pos, sdf, conv, within = sphere_trace_compacted(
+        _sdf, origins, dirs, BOUND, nr_rounds=5, iters_per_round=3,
+        grid_cfg=cfg, grid=grid, first_bucket_fraction=0.05,
+    )
+    conv = np.asarray(conv)
+    # some rays converge, none produce garbage positions
+    assert conv.sum() > 0
+    r = np.linalg.norm(np.asarray(pos)[conv], axis=-1)
+    np.testing.assert_allclose(r, RADIUS, atol=5e-4)
+    assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_compacted_jits():
+    origins, dirs = _rays(256)
+    cfg, grid = _grid_for_sphere(32)
+    f = jax.jit(lambda o, d: sphere_trace_compacted(
+        _sdf, o, d, BOUND, nr_rounds=3, iters_per_round=3,
+        grid_cfg=cfg, grid=grid))
+    pos, sdf, conv, within = f(origins, dirs)
+    assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_render_rays_sphere_traced_compacted_pipeline():
+    """End-to-end compacted renderer on a tiny trained-free model: shapes,
+    finiteness, and zero rgb outside hits."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og_mod
+
+    cfg = tps.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, grid_nr_voxels_per_dim=32,
+        nr_samples_bg=4, max_nr_samples_per_ray=8, nr_samples_imp_sampling=4,
+    )
+    params = tps.init_params(jax.random.PRNGKey(0), cfg, nr_cams=2)
+    n = cfg.grid_nr_voxels_per_dim
+    xs = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n - 0.5
+    X, Y, Z = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    occ = (jnp.sqrt(X ** 2 + Y ** 2 + Z ** 2) < 0.3).reshape(-1)
+    grid = og_mod.OccupancyGridState(values=jnp.zeros(n ** 3), occupancy=occ)
+
+    origins, dirs = _rays(256)
+    rgb, nrm, w = tps.render_rays_sphere_traced_compacted(
+        params, grid, origins, dirs, jnp.asarray(100), cfg,
+        nr_rounds=3, iters_per_round=3,
+    )
+    assert rgb.shape == (256, 3) and w.shape == (256, 1)
+    assert np.isfinite(np.asarray(rgb)).all()
+    w_np = np.asarray(w)[:, 0]
+    assert (np.abs(np.asarray(rgb)[w_np == 0]).sum() == 0)
