@@ -56,6 +56,10 @@ class SDFConfig:
     # torch.autograd.grad analog; measured fastest on TPU v5e) or
     # "forward" (jvp). Identical values either way — see sdf_with_gradient.
     gradient_mode: str = "reverse"
+    # bf16-pair-packed table gathers (1 gather instance per vertex instead
+    # of 2 — see ops/permuto_encoding.py). Master table stays f32; forward
+    # values round to bf16. Forward-mode AD needs the unpacked path.
+    table_bf16: bool = True
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -65,6 +69,7 @@ class SDFConfig:
             nr_levels=self.nr_levels,
             concat_points=True,
             concat_points_scaling=1e-3,  # models.py:149
+            packed_bf16=self.table_bf16 and self.gradient_mode != "forward",
         )
 
 
@@ -186,6 +191,7 @@ class RGBConfig:
     capacity: int = 2 ** 18
     nr_levels: int = 24
     sh_degree: int = 5  # 25 channels (models.py:373)
+    table_bf16: bool = True
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -195,6 +201,7 @@ class RGBConfig:
             nr_levels=self.nr_levels,
             concat_points=True,
             concat_points_scaling=1.0,  # models.py:333
+            packed_bf16=self.table_bf16,
         )
 
     @property
@@ -252,6 +259,7 @@ class NerfHashConfig:
     nr_levels: int = 24
     nr_feat_for_rgb: int = 64
     sh_degree: int = 4  # 16 channels (models.py:503)
+    table_bf16: bool = True
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -261,6 +269,7 @@ class NerfHashConfig:
             nr_levels=self.nr_levels,
             concat_points=True,
             concat_points_scaling=1.0,
+            packed_bf16=self.table_bf16,
         )
 
 

@@ -55,14 +55,11 @@ def cumprod_alpha2transmittance(one_minus_alpha, mask):
     """
     x = jnp.where(mask, one_minus_alpha, 1.0)
     cp = jnp.cumprod(x, axis=-1)
-    T = jnp.concatenate([jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=-1)
-    T = jnp.where(mask, T, 0.0)
+    T_shifted = jnp.concatenate([jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=-1)
+    T = jnp.where(mask, T_shifted, 0.0)
     nr = jnp.sum(mask, axis=-1)
     last_idx = jnp.maximum(nr - 1, 0)
-    bg_T = jnp.take_along_axis(
-        jnp.concatenate([jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=-1),
-        last_idx[:, None], axis=-1,
-    )[:, 0]
+    bg_T = jnp.take_along_axis(T_shifted, last_idx[:, None], axis=-1)[:, 0]
     bg_T = jnp.where(nr > 0, bg_T, 1.0)
     return T, bg_T
 

@@ -650,26 +650,47 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
           nr_iters: int | None = None, seed: int = 0, log_every: int = 1000,
           checkpoint_path: str | None = None,
           experiment_name: str = "permuto_sdf", save_every: int = 10000,
-          callbacks=None, dynamic_nr_rays: bool = True):
+          callbacks=None, dynamic_nr_rays: bool = True,
+          resume_from: str | None = None):
     """``dynamic_nr_rays`` is the reference's load-balancing trick
     (train_permuto_sdf.py:394-397): rescale the ray count so the total
     packed sample count stays near target_nr_of_samples — here snapped to
-    power-of-2 buckets to keep shapes static per compiled variant."""
+    power-of-2 buckets to keep shapes static per compiled variant.
+
+    ``resume_from`` points at a ``<ckpt>/<exp>/<iter>/models`` dir written
+    by a previous run; training continues from the saved iteration with
+    exact optimizer state (capability the reference lacks — its checkpoints
+    are inference-only, permuto_sdf_utils.py:222-237)."""
     nr_iters = nr_iters or cfg.iter_finish_training
     target_nr_samples = cfg.nr_rays * (
         cfg.max_nr_samples_per_ray + 2 * cfg.nr_samples_imp_sampling
     )
     key = jax.random.PRNGKey(seed)
-    params = init_params(jax.random.fold_in(key, 0), cfg, reel.nr_images)
     optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
-    grid = og.make_occupancy_grid(cfg.grid) if cfg.use_occupancy_grid else None
+    start_iter = 0
+    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0))
+    if resume_from:
+        st = ckpt.load_train_state(resume_from)
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        params = as_jnp(st["params"])
+        opt_state = as_jnp(st["opt_state"])
+        grid = as_jnp(st["grid"]) if st["grid"] is not None else None
+        start_iter = int(st["iter"]) + 1
+        last_inv_s = jnp.asarray(st["last_inv_s"])
+        if dynamic_nr_rays and int(st["nr_rays"]) != cfg.nr_rays:
+            cfg = dataclasses.replace(cfg, nr_rays=int(st["nr_rays"]))
+        print(f"resumed from {resume_from} at iter {start_iter}")
+    else:
+        params = init_params(jax.random.fold_in(key, 0), cfg, reel.nr_images)
+        opt_state = optimizer.init(params)
+        grid = og.make_occupancy_grid(cfg.grid) if cfg.use_occupancy_grid else None
 
     history = []
     t0 = time.perf_counter()
-    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0))
-    for it in range(nr_iters):
-        key, k_step, k_grid = jax.random.split(key, 3)
+    for it in range(start_iter, nr_iters):
+        # per-iteration keys derived by fold_in so a resumed run sees the
+        # exact same randomness stream as an uninterrupted one
+        k_step, k_grid = jax.random.split(jax.random.fold_in(key, it + 1))
         in_sphere_init = it < cfg.nr_iter_sphere_fit
         if in_sphere_init:
             params, opt_state, loss = sphere_init_step(
@@ -711,13 +732,17 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                 for cb in callbacks:
                     cb(it, loss, aux, params, grid)
         if checkpoint_path and save_every and it > 0 and it % save_every == 0:
-            _save(checkpoint_path, experiment_name, it, params, grid)
+            _save(checkpoint_path, experiment_name, it, params, grid,
+                  opt_state=opt_state, cfg=cfg, last_inv_s=last_inv_s)
     if checkpoint_path:
-        _save(checkpoint_path, experiment_name, nr_iters, params, grid)
+        _save(checkpoint_path, experiment_name, nr_iters, params, grid,
+              opt_state=opt_state, cfg=cfg, last_inv_s=last_inv_s,
+              final_iter=nr_iters - 1)
     return params, grid, history
 
 
-def _save(checkpoint_path, experiment_name, it, params, grid):
+def _save(checkpoint_path, experiment_name, it, params, grid, opt_state=None,
+          cfg=None, last_inv_s=None, final_iter=None):
     ckpt.save_model(checkpoint_path, experiment_name, it, "sdf_model", params["sdf"])
     ckpt.save_model(checkpoint_path, experiment_name, it, "rgb_model", params["rgb"])
     ckpt.save_model(checkpoint_path, experiment_name, it, "nerf_hash_model_bg",
@@ -729,6 +754,15 @@ def _save(checkpoint_path, experiment_name, it, params, grid):
                         params["colorcal"])
     if grid is not None:
         ckpt.save_model(checkpoint_path, experiment_name, it, "occupancy_grid", grid)
+    if opt_state is not None:
+        ckpt.save_train_state(checkpoint_path, experiment_name, it, {
+            "params": params,
+            "opt_state": opt_state,
+            "grid": grid,
+            "iter": final_iter if final_iter is not None else it,
+            "last_inv_s": last_inv_s,
+            "nr_rays": cfg.nr_rays if cfg is not None else 0,
+        })
 
 
 def load_from_checkpoint(ckpt_path_full: str, cfg: PermutoSDFTrainConfig):
@@ -771,6 +805,10 @@ def main():
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--checkpoint_path", default=None)
     parser.add_argument("--exp_info", default="")
+    parser.add_argument("--resume", nargs="?", const="latest", default=None,
+                        help="resume training: pass a <...>/models dir, or no "
+                             "value to auto-pick the latest checkpoint under "
+                             "--checkpoint_path/<experiment>")
     args = parser.parse_args()
 
     if args.dataset == "synthetic":
@@ -805,8 +843,14 @@ def main():
     else:
         cfg = PermutoSDFTrainConfig(with_mask=args.with_mask)
         exp = "permuto_sdf" + (f"_{args.exp_info}" if args.exp_info else "")
+        resume_from = args.resume
+        if resume_from == "latest":
+            resume_from = ckpt.latest_checkpoint_dir(args.checkpoint_path, exp)
+            if resume_from is None:
+                print("no checkpoint to resume from — starting fresh")
         train(reel, cfg, nr_iters=args.nr_iters,
-              checkpoint_path=args.checkpoint_path, experiment_name=exp)
+              checkpoint_path=args.checkpoint_path, experiment_name=exp,
+              resume_from=resume_from)
 
 
 if __name__ == "__main__":

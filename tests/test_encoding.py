@@ -299,3 +299,111 @@ def test_max_levels_gradients_flow_only_to_active_levels():
     g = np.asarray(jax.grad(loss)(params["lattice_values"]))
     assert np.abs(g[:3]).sum() > 0
     np.testing.assert_allclose(g[3:], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# bf16-pair-packed gather path (packed_bf16=True): value / gradient /
+# double-backprop equivalence with the exact per-feature-gather path.
+# ---------------------------------------------------------------------------
+
+def _packed_and_exact_specs(d=3):
+    kw = dict(pos_dim=d, capacity=2 ** 12, nr_levels=6, nr_feat_per_level=2,
+              concat_points=True, concat_points_scaling=1.0)
+    return (PermutoEncodingSpec(packed_bf16=True, **kw),
+            PermutoEncodingSpec(packed_bf16=False, **kw))
+
+
+def test_packed_bf16_forward_matches_exact_within_quantization():
+    spec_p, spec_e = _packed_and_exact_specs()
+    params = init_encoding_params(jax.random.PRNGKey(0), spec_e)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=-0.5,
+                             maxval=0.5)
+    out_p = permuto_encode(params, pts, spec_p)
+    out_e = permuto_encode(params, pts, spec_e)
+    # tables are init'd in [-1e-4, 1e-4]; bf16 relative error is 2^-9
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_e),
+                               rtol=0, atol=1e-6)
+    # and with a scaled-up table (training-scale magnitudes)
+    params_big = {**params,
+                  "lattice_values": params["lattice_values"] * 1e4}
+    out_p = permuto_encode(params_big, pts, spec_p)
+    out_e = permuto_encode(params_big, pts, spec_e)
+    rel = np.max(np.abs(np.asarray(out_p - out_e))) / (
+        np.max(np.abs(np.asarray(out_e))) + 1e-12)
+    assert rel < 4e-3, f"bf16 rounding error too large: {rel}"
+
+
+def test_packed_bf16_table_gradient_is_exact_straight_through():
+    """The custom VJP scatters f32 cotangents straight into the master
+    table — gradients must match the exact path EXACTLY (the linear
+    model's gradient does not depend on the quantized values)."""
+    spec_p, spec_e = _packed_and_exact_specs()
+    params = init_encoding_params(jax.random.PRNGKey(0), spec_e)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.5,
+                             maxval=0.5)
+    cot = jax.random.normal(jax.random.PRNGKey(2),
+                            (64, spec_e.output_dims))
+
+    def loss(p, spec):
+        return jnp.sum(permuto_encode(p, pts, spec) * cot)
+
+    g_p = jax.grad(loss)(params, spec_p)["lattice_values"]
+    g_e = jax.grad(loss)(params, spec_e)["lattice_values"]
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_e),
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_packed_bf16_gradient_wrt_points_within_quantization():
+    spec_p, spec_e = _packed_and_exact_specs()
+    params = init_encoding_params(jax.random.PRNGKey(0), spec_e)
+    params = {**params, "lattice_values": params["lattice_values"] * 1e4}
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.4,
+                             maxval=0.4)
+
+    def f(p_pts, spec):
+        return jnp.sum(jnp.sin(permuto_encode(params, p_pts, spec)))
+
+    g_p = jax.grad(f)(pts, spec_p)
+    g_e = jax.grad(f)(pts, spec_e)
+    # d/dpoints flows through barycentric weights x (quantized) features
+    rel = np.max(np.abs(np.asarray(g_p - g_e))) / (
+        np.max(np.abs(np.asarray(g_e))) + 1e-12)
+    assert rel < 1e-2, rel
+
+
+def test_packed_bf16_double_backprop_eikonal_style():
+    """grad-wrt-table of an eikonal-style function of the spatial gradient
+    must flow through the packed gather (reverse-over-reverse)."""
+    spec_p, spec_e = _packed_and_exact_specs()
+    params = init_encoding_params(jax.random.PRNGKey(0), spec_e)
+    params = {**params, "lattice_values": params["lattice_values"] * 1e4}
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.4,
+                             maxval=0.4)
+
+    def eikonal(p, spec):
+        def field(x):
+            return jnp.sum(permuto_encode(p, x, spec), axis=-1)
+
+        g = jax.vjp(field, pts)[1](jnp.ones(pts.shape[0]))[0]
+        return jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    gt_p = jax.grad(eikonal)(params, spec_p)["lattice_values"]
+    gt_e = jax.grad(eikonal)(params, spec_e)["lattice_values"]
+    assert np.any(np.asarray(gt_p) != 0.0), "no gradient flowed to the table"
+    rel = np.max(np.abs(np.asarray(gt_p - gt_e))) / (
+        np.max(np.abs(np.asarray(gt_e))) + 1e-12)
+    assert rel < 1e-2, rel
+
+
+def test_packed_bf16_jit_composes():
+    spec_p, _ = _packed_and_exact_specs()
+    params = init_encoding_params(jax.random.PRNGKey(0), spec_p)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+
+    @jax.jit
+    def f(p, x):
+        return permuto_encode(p, x, spec_p)
+
+    out = f(params, pts)
+    assert out.shape == (128, spec_p.output_dims)
+    assert np.all(np.isfinite(np.asarray(out)))

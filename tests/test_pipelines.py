@@ -105,3 +105,40 @@ def test_sphere_traced_render_runs(tiny_reel):
         1000, cfg, chunk=256,
     )
     assert rgbv.shape == (16, 16, 3) and np.isfinite(rgbv).all()
+
+
+def test_resume_roundtrip_matches_uninterrupted_run(tiny_reel):
+    """Kill/restart equivalence: train 60 iters straight vs 30 + resume 30 —
+    params must match bitwise (same fold_in key stream, exact optimizer
+    state in train_state.npz)."""
+    import tempfile, os
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.train import checkpoint as ckpt
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32, nr_iter_sphere_fit=10,
+        sphere_init_points=512, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=512, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=20,
+        sdf_nr_iters_for_c2f=50, forced_variance_finish_iter=100,
+    )
+    params_full, grid_full, _ = t.train(
+        tiny_reel, cfg, nr_iters=60, log_every=100, dynamic_nr_rays=False,
+    )
+
+    d = tempfile.mkdtemp()
+    t.train(tiny_reel, cfg, nr_iters=30, log_every=100,
+            dynamic_nr_rays=False, checkpoint_path=d, experiment_name="exp")
+    resume_dir = ckpt.latest_checkpoint_dir(d, "exp")
+    assert resume_dir is not None and resume_dir.endswith(
+        os.path.join("30", "models"))
+    params_res, grid_res, _ = t.train(
+        tiny_reel, cfg, nr_iters=60, log_every=100, dynamic_nr_rays=False,
+        resume_from=resume_dir,
+    )
+
+    for x, y in zip(jax.tree_util.tree_leaves(params_full),
+                    jax.tree_util.tree_leaves(params_res)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(grid_full.occupancy),
+                                  np.asarray(grid_res.occupancy))
