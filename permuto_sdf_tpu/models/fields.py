@@ -89,13 +89,30 @@ def init_sdf(key, cfg: SDFConfig) -> dict:
 def sdf_apply(params, points, iter_nr, cfg: SDFConfig, max_levels=None):
     """points [N, d] -> (sdf [N, 1], geom_feat [N, G] or None).
 
-    ``max_levels`` (static) evaluates only the coarsest K encoding levels
-    (zero-filling the rest) — a cheap geometry proxy for sample placement;
-    see :func:`permuto_encode`."""
+    ``max_levels`` (static) evaluates only the coarsest K encoding levels —
+    a cheap geometry proxy for sample placement / occupancy updates /
+    LOD sphere-trace marches. Instead of zero-filling the skipped levels
+    (which costs a fusion-breaking concat — PERFORMANCE.md finding 6), the
+    first MLP layer's input rows for those levels are statically sliced
+    away: mathematically identical (skipped features are zero, so their
+    weight rows contribute nothing), and the finest levels' gathers are
+    never issued."""
     window = coarse2fine_window(_c2f_t(iter_nr, cfg.nr_iters_for_c2f), cfg.nr_levels)
-    feats = permuto_encode(params["encoding"], points, cfg.encoding, window,
-                           max_levels=max_levels)
-    out = mlp_apply(params["mlp_sdf"], feats)
+    L = cfg.nr_levels
+    if max_levels is not None and max_levels < L:
+        spec = cfg.encoding
+        K = max_levels
+        feats = permuto_encode(params["encoding"], points, spec, window,
+                               max_levels=K, zero_fill=False)
+        mlp = params["mlp_sdf"]
+        W0 = mlp[0]["w"]  # [L*F (+d), H]
+        F = spec.nr_feat_per_level
+        W0_sliced = jnp.concatenate([W0[: K * F], W0[L * F :]], axis=0)
+        mlp = [{**mlp[0], "w": W0_sliced}] + list(mlp[1:])
+        out = mlp_apply(mlp, feats)
+    else:
+        feats = permuto_encode(params["encoding"], points, cfg.encoding, window)
+        out = mlp_apply(params["mlp_sdf"], feats)
     if cfg.geom_feat_size_out:
         return out[:, 0:1], out[:, -cfg.geom_feat_size_out:]
     return out, None

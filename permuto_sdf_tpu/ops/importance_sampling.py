@@ -42,17 +42,30 @@ def importance_sampling_sdf_model(
     key,
     nr_imp_samples: int = 16,
     jitter: bool = True,
+    masked: bool = False,
 ) -> RaySamples:
     """sdf_fn: flat [N,3] -> [N] or [N,1] sdf. Returns merged samples with
-    max_samples = samples.max_samples + 2*nr_imp_samples."""
+    max_samples = samples.max_samples + 2*nr_imp_samples.
+
+    ``masked=True`` changes the callable contract to
+    ``sdf_fn(pts_flat, flat_mask)`` so the caller can evaluate only the
+    valid samples (static-budget compaction — see
+    train_permuto_sdf.run_net); invalid slots must report far-from-surface
+    values."""
     k1, k2 = jax.random.split(key)
+    if masked:
+        eval_sdf = sdf_fn
+    else:
+        eval_sdf = lambda pts, _mask: sdf_fn(pts)
 
     # round 1: inv_s_multiplier = 1
-    sdf = sdf_fn(samples.flat_positions()).reshape(samples.mask.shape)
+    sdf = eval_sdf(samples.flat_positions(),
+                   samples.flat_mask()).reshape(samples.mask.shape)
     samples = samples.with_sdf(sdf)
     cdf = _weights_cdf(samples, sdf, inv_s_multiplier=1.0)
     imp = vr.importance_sample(samples, cdf, nr_imp_samples, key=k1, jitter=jitter)
-    sdf_imp = sdf_fn(imp.flat_positions()).reshape(imp.mask.shape)
+    sdf_imp = eval_sdf(imp.flat_positions(),
+                       imp.flat_mask()).reshape(imp.mask.shape)
     imp = imp.with_sdf(sdf_imp)
     combined = vr.combine_uniform_samples_with_imp(samples, imp, t_exit)
 

@@ -258,6 +258,27 @@ def compute_samples_in_occupied_regions(
     )
 
 
+def mip_config(cfg: OccupancyGridConfig, factor: int) -> OccupancyGridConfig:
+    """Config of the ``factor``x-downsampled grid (same extent/translation)."""
+    assert cfg.nr_voxels_per_dim % factor == 0
+    return dataclasses.replace(cfg, nr_voxels_per_dim=cfg.nr_voxels_per_dim // factor)
+
+
+def downsample_occupancy(cfg: OccupancyGridConfig, occupancy: jnp.ndarray,
+                         factor: int) -> jnp.ndarray:
+    """Conservative occupancy mip: a coarse voxel is occupied iff ANY of its
+    ``factor^3`` fine voxels is. Row-major [V^3] -> [(V/f)^3].
+
+    Used by the sphere-trace seed: probing a 64^3 mip needs 4x fewer (and
+    4x coarser-spaced, equally safe) probes than the 256^3 grid — gathers
+    on TPU cost per instance, so the seed is the frame-cost floor
+    (PERFORMANCE.md finding 7)."""
+    v = cfg.nr_voxels_per_dim
+    c = v // factor
+    occ = occupancy.reshape(c, factor, c, factor, c, factor)
+    return jnp.any(occ, axis=(1, 3, 5)).reshape(-1)
+
+
 def compute_first_sample_start_of_occupied_regions(
     cfg: OccupancyGridConfig, grid: OccupancyGridState,
     origins, dirs, t_entry, t_exit, nr_probes: int = 512,

@@ -21,6 +21,7 @@ encoding+MLP evaluations inside.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -227,5 +228,214 @@ def sphere_trace_compacted(
         R * first_bucket_fraction)), R), fill_value=R)
     s = eval_sdf(pos_f[idx])
     sdf_f = sdf_f.at[idx].set(jnp.where(idx < R, s, sdf_f[idx]))
+
+    return pos_f[:R], sdf_f[:R], (conv_f & alive_f)[:R], alive_f[:R]
+
+
+# ---------------------------------------------------------------------------
+# Host-adaptive compacted tracing (the interactive rendering fast path)
+# ---------------------------------------------------------------------------
+#
+# sphere_trace_compacted above sizes its ray buckets with a static fraction;
+# when a view fills the frame with foreground, overflow rays would silently
+# render as background. The adaptive driver below keeps every kernel jitted
+# with STATIC shapes but lets the HOST pick each round's bucket from the
+# measured active-ray count (snapped to powers of two so each size compiles
+# once, like the trainer's dynamic ray buckets). It also supports
+# render-time LOD: march with a cheap coarse-level SDF, then refine the
+# converged hits with the full-resolution SDF.
+
+
+def pow2_bucket(n: int, lo: int = 256, hi: int = 1 << 22) -> int:
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return min(b, hi)
+
+
+def _with_time(p, time_val):
+    if time_val is None:
+        return p
+    t = jnp.full((p.shape[0], 1), time_val, p.dtype)
+    return jnp.concatenate([p, t], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "boundary", "grid_cfg", "mip_factor", "nr_probes"))
+def _seed_rays(ray_origins, ray_dirs, boundary, grid_cfg, grid,
+               mip_factor: int = 4, nr_probes: int = 128):
+    """Per-ray start position + alive mask. With a grid, traverses a
+    conservative occupancy mip (``downsample_occupancy``): 128 probes at
+    half-a-coarse-voxel spacing are exactly as safe as 512 at half a fine
+    voxel, at 1/4 the gather instances. The seed lands at the START of the
+    first coarse-occupied segment (never past the true surface); the
+    in-trace empty-space advance covers the remaining fine skip."""
+    p_entry, t_entry, p_exit, t_exit, hit = boundary.ray_intersection(
+        ray_origins, ray_dirs
+    )
+    if grid is None or grid_cfg is None:
+        return p_entry, hit[:, 0]
+    mip_cfg = og.mip_config(grid_cfg, mip_factor)
+    mip = og.OccupancyGridState(
+        values=jnp.zeros((1,), jnp.float32),
+        occupancy=og.downsample_occupancy(grid_cfg, grid.occupancy, mip_factor),
+    )
+    t_first, has_occ = og.compute_first_sample_start_of_occupied_regions(
+        mip_cfg, mip, ray_origins, ray_dirs, t_entry, t_exit,
+        nr_probes=nr_probes,
+    )
+    # back off half a coarse probe segment so the seed is conservative, then
+    # nudge half a fine voxel along the ray like the reference
+    # (sdf_utils.py:131-133)
+    seg = (t_exit.reshape(-1) - t_entry.reshape(-1)) / nr_probes
+    t_first = jnp.maximum(t_first - 0.5 * seg, t_entry.reshape(-1))
+    pos = ray_origins + t_first[:, None] * ray_dirs
+    pos = pos + ray_dirs * grid_cfg.voxel_size * 0.5
+    return pos, has_occ & hit[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
+    "sdf_converged_tresh", "time_val"))
+def _trace_rounds(sdf_eval, ctx, pos_f, dirs_f, alive_f, conv_f, sdf_f,
+                  grid_cfg, grid, iters: int, bucket: int,
+                  sdf_multiplier: float, sdf_converged_tresh: float,
+                  time_val):
+    """Run ``iters`` trace steps on a host-sized bucket of active rays and
+    scatter the state back. Returns the updated state + active-ray count."""
+    R = pos_f.shape[0] - 1
+    (idx,) = jnp.nonzero((alive_f & ~conv_f)[:R], size=bucket, fill_value=R)
+    sub_pos = pos_f[idx]
+    sub_dirs = dirs_f[idx]
+    sub_alive = alive_f[idx] & (idx < R)
+    sub_conv = conv_f[idx]
+    sub_sdf = sdf_f[idx]
+
+    for _ in range(iters):
+        s = sdf_eval(ctx, _with_time(sub_pos, time_val)).reshape(-1)
+        act = ~sub_conv & sub_alive
+        sub_sdf = jnp.where(act, s, sub_sdf)
+        step = jnp.where(act[:, None],
+                         sub_dirs * (s * sdf_multiplier)[:, None], 0.0)
+        new_pos = sub_pos + step
+        sub_conv = sub_conv | ((jnp.abs(s) < sdf_converged_tresh) & sub_alive)
+        if grid is not None and grid_cfg is not None:
+            adv_pos, within = og.advance_sample_to_next_occupied_voxel(
+                grid_cfg, grid, sub_dirs, new_pos
+            )
+            move = (~sub_conv & sub_alive)[:, None]
+            new_pos = jnp.where(move, adv_pos, new_pos)
+            sub_alive = sub_alive & (sub_conv | within)
+        sub_pos = new_pos
+
+    pos_f = pos_f.at[idx].set(sub_pos)
+    alive_f = alive_f.at[idx].set(sub_alive)
+    conv_f = conv_f.at[idx].set(sub_conv)
+    sdf_f = sdf_f.at[idx].set(sub_sdf)
+    n_active = jnp.sum((alive_f & ~conv_f)[:R])
+    return pos_f, alive_f, conv_f, sdf_f, n_active
+
+
+@functools.partial(jax.jit, static_argnames=("sdf_eval", "bucket", "time_val"))
+def _refresh_sdf(sdf_eval, ctx, pos_f, mask_f, sdf_f, bucket: int, time_val):
+    """Re-evaluate the sdf at the final position of the masked rays (bucket
+    sized by the host from the true converged count — every ray gets its
+    final-position sdf, unlike the fraction-capped variant)."""
+    R = pos_f.shape[0] - 1
+    (idx,) = jnp.nonzero(mask_f[:R], size=bucket, fill_value=R)
+    s = sdf_eval(ctx, _with_time(pos_f[idx], time_val)).reshape(-1)
+    return sdf_f.at[idx].set(jnp.where(idx < R, s, sdf_f[idx]))
+
+
+def sphere_trace_adaptive(
+    sdf_eval,                    # STATIC: (ctx, pts) -> sdf; stable identity!
+    ctx,                         # pytree closed over by sdf_eval's params
+    ray_origins, ray_dirs, boundary_primitive,
+    nr_rounds: int = 5,
+    iters_per_round: int = 3,
+    sdf_multiplier: float = 0.9,
+    sdf_converged_tresh: float = 2e-4,
+    grid_cfg: Optional[og.OccupancyGridConfig] = None,
+    grid: Optional[og.OccupancyGridState] = None,
+    time_val: Optional[float] = None,
+    refine_sdf_eval=None,        # STATIC: full-res sdf for LOD refinement
+    refine_ctx=None,
+    nr_refine_iters: int = 3,
+    min_bucket: int = 256,
+    mip_factor: int = 4,
+):
+    """Sphere tracing with HOST-adaptive static-shape compaction.
+
+    Covers the reference's boolean-mask compaction loop
+    (``sdf_utils.py:149-186``) exactly: every round re-bins the measured
+    active set into a power-of-two bucket (one compile per size, cached),
+    so no ray is ever dropped regardless of how much of the frame is
+    foreground. ``sdf_eval`` / ``refine_sdf_eval`` must be stable function
+    objects (e.g. module-level or lru-cached closures) — they are jit
+    static args.
+
+    LOD: pass a cheap coarse-level ``sdf_eval`` for the march and the
+    full-resolution field as ``refine_sdf_eval``; converged hits get
+    ``nr_refine_iters`` extra full-res steps (same convergence rule), which
+    removes the coarse bias at a fraction of a full-res march.
+
+    Returns (pos [R,3], sdf [R], converged [R], within_bounds [R]).
+    """
+    R = ray_origins.shape[0]
+    pos, alive = _seed_rays(ray_origins, ray_dirs, boundary_primitive,
+                            grid_cfg, grid, mip_factor=mip_factor)
+
+    def padded(x, fill=0.0):
+        pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
+
+    pos_f = padded(pos)
+    dirs_f = padded(ray_dirs)
+    alive_f = padded(alive, False)
+    conv_f = jnp.zeros(R + 1, bool)
+    sdf_f = jnp.zeros(R + 1, pos.dtype)
+
+    n_active = int(jnp.sum(alive_f[:R]))
+    for _ in range(nr_rounds):
+        if n_active == 0:
+            break
+        bucket = pow2_bucket(n_active, lo=min_bucket, hi=max(min_bucket, R))
+        pos_f, alive_f, conv_f, sdf_f, n_active = _trace_rounds(
+            sdf_eval, ctx, pos_f, dirs_f, alive_f, conv_f, sdf_f,
+            grid_cfg, grid, iters_per_round, bucket, sdf_multiplier,
+            sdf_converged_tresh, time_val,
+        )
+        n_active = int(n_active)
+
+    if refine_sdf_eval is not None:
+        # LOD refinement: re-open the converged set and march it with the
+        # full-resolution field
+        hit_f = conv_f & alive_f
+        n_hit = int(jnp.sum(hit_f[:R]))
+        if n_hit > 0:
+            conv_open = jnp.where(hit_f, False, conv_f)
+            bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
+            # only the re-opened rays are active: freeze others via alive
+            alive_ref = hit_f
+            pos_f, alive_ref, conv_ref, sdf_f, _ = _trace_rounds(
+                refine_sdf_eval, refine_ctx, pos_f, dirs_f, alive_ref,
+                jnp.zeros_like(conv_f), sdf_f, grid_cfg, grid,
+                nr_refine_iters, bucket, sdf_multiplier,
+                sdf_converged_tresh, time_val,
+            )
+            # a refined ray stays converged if the full-res march converged
+            # (or it can fall out of bounds during refinement)
+            conv_f = jnp.where(hit_f, conv_ref & alive_ref, conv_f)
+            alive_f = jnp.where(hit_f, alive_ref | ~hit_f, alive_f)
+        final_eval, final_ctx = refine_sdf_eval, refine_ctx
+    else:
+        final_eval, final_ctx = sdf_eval, ctx
+
+    hit_f = conv_f & alive_f
+    n_hit = int(jnp.sum(hit_f[:R]))
+    if n_hit > 0:
+        bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
+        sdf_f = _refresh_sdf(final_eval, final_ctx, pos_f, hit_f, sdf_f,
+                             bucket, time_val)
 
     return pos_f[:R], sdf_f[:R], (conv_f & alive_f)[:R], alive_f[:R]

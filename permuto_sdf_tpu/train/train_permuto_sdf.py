@@ -91,6 +91,20 @@ class PermutoSDFTrainConfig:
     # scale — the 3-tangent forward pass costs more than the
     # gather-transpose it avoids (XLA already CSEs the shared gathers).
     sdf_gradient_mode: str = "reverse"
+    # Static per-step budget of VALID samples the expensive field
+    # evaluations pay for. The dense [R, S] layout contains invalid
+    # (masked) slots — with a sparse occupancy grid most of them; the
+    # render gathers the valid samples into a [budget] compacted batch
+    # (jnp.nonzero with static size), runs SDF/RGB/curvature there, and
+    # scatters back for the per-ray NeuS math. This is the TPU counterpart
+    # of the reference's compact_to_valid_samples (RaySamplesPacked.cu:57)
+    # + its fixed target_nr_of_samples=512*(64+16+16) budget
+    # (train_permuto_sdf.py:104): the dynamic ray rebalancer keeps the
+    # valid count near the target, the budget bounds the compiled shape at
+    # 1.25x that. Valid samples beyond the budget are dropped from the
+    # batch (mask updated, so every consumer agrees); the rebalancer then
+    # shrinks the ray count. None disables compaction (tiny smoke configs).
+    render_sample_budget: int | None = 512 * (64 + 16 + 16) * 5 // 4
     use_color_calibration: bool = True
     nr_rays: int = 512
     sdf_geom_feat_size: int = 32
@@ -230,30 +244,84 @@ def _create_fg_samples(params, grid, key, origins, dirs, t_entry, t_exit,
             cfg.max_nr_samples_per_ray, key=k_uni, jitter=jitter,
         )
     if cfg.do_importance_sampling:
-        sdf_fn = lambda pts: sdf_apply(params["sdf"], pts, iter_nr_anneal,
-                                       cfg.sdf_model,
-                                       max_levels=cfg.imp_sampling_max_levels)[0]
+        budget = cfg.render_sample_budget
+
+        def sdf_fn(pts, flat_mask):
+            return _masked_sdf_value(
+                params["sdf"], pts, flat_mask, iter_nr_anneal, cfg.sdf_model,
+                budget, max_levels=cfg.imp_sampling_max_levels,
+            )
+
         samples = importance_sampling_sdf_model(
             sdf_fn, samples, t_exit, k_imp, cfg.nr_samples_imp_sampling,
-            jitter=jitter,
+            jitter=jitter, masked=True,
         )
     return jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
+
+
+def _compact_idx(flat_mask, budget: int):
+    """First ``budget`` valid flat indices (row-major => whole rays first,
+    then a valid PREFIX of the next ray — the prefix-mask invariant holds
+    for whatever survives). fill_value = M marks unused bucket slots."""
+    M = flat_mask.shape[0]
+    (idx,) = jnp.nonzero(flat_mask, size=budget, fill_value=M)
+    return idx, idx < M
+
+
+def _pad_one(a, fill=0.0):
+    pad = jnp.full((1,) + a.shape[1:], fill, a.dtype)
+    return jnp.concatenate([a, pad], axis=0)
+
+
+def _masked_sdf_value(params_sdf, pts_flat, flat_mask, iter_nr, sdf_cfg,
+                      budget, max_levels=None):
+    """sdf at the VALID flat positions only (compacted, static budget);
+    invalid/overflow slots report far-from-surface (+1e3) so downstream
+    CDF building never places importance samples there."""
+    M = pts_flat.shape[0]
+    if budget is None or budget >= M:
+        return sdf_apply(params_sdf, pts_flat, iter_nr, sdf_cfg,
+                         max_levels=max_levels)[0]
+    idx, valid = _compact_idx(flat_mask, budget)
+    pts_c = _pad_one(pts_flat)[idx]
+    sdf_c = sdf_apply(params_sdf, pts_c, iter_nr, sdf_cfg,
+                      max_levels=max_levels)[0].reshape(-1)
+    out = jnp.full((M + 1,), 1e3, pts_flat.dtype).at[idx].set(sdf_c)
+    return out[:M][:, None]
 
 
 def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
             cos_anneal_ratio, forced_variance, cfg: PermutoSDFTrainConfig,
             jitter: bool):
-    """Returns (pred_rgb, pred_normals, sdf_gradients_flat, weights_sum,
-    samples, inv_s)."""
+    """Returns (pred_rgb, pred_normals, compact, weights_sum, samples,
+    inv_s, does_intersect) where ``compact`` carries the compacted per-
+    sample quantities the losses consume: dict(pos [B,3], sdf [B],
+    grads [B,3], valid [B])."""
     _, t_entry, _, t_exit, does_intersect = BOUND.ray_intersection(origins, dirs)
     k_samp, k_bg = jax.random.split(key)
     samples = _create_fg_samples(params, grid, k_samp, origins, dirs, t_entry,
                                  t_exit, iter_nr_anneal, cfg, jitter)
     R, S = samples.mask.shape
+    M = R * S
+    budget = min(M, cfg.render_sample_budget) if cfg.render_sample_budget else M
 
-    pos_flat = samples.flat_positions()
-    sdf, sdf_gradients, geom_feat = sdf_with_gradient(
-        params["sdf"], pos_flat, iter_nr_anneal, cfg.sdf_model
+    # --- compact the valid samples (see render_sample_budget docstring) ---
+    if budget < M:
+        idx, valid_c = _compact_idx(samples.flat_mask(), budget)
+        # drop overflow samples from the batch so every consumer agrees
+        kept = jnp.zeros((M + 1,), bool).at[idx].set(valid_c)[:M]
+        samples = dataclasses.replace(
+            samples, mask=kept.reshape(R, S) & samples.mask
+        )
+        pos_c = _pad_one(samples.flat_positions())[idx]
+        dirs_c = _pad_one(samples.flat_dirs())[idx]
+    else:
+        idx, valid_c = None, samples.flat_mask()
+        pos_c = samples.flat_positions()
+        dirs_c = samples.flat_dirs()
+
+    sdf_c, grads_c, geom_c = sdf_with_gradient(
+        params["sdf"], pos_c, iter_nr_anneal, cfg.sdf_model
     )
 
     colorcal = params.get("colorcal")
@@ -261,12 +329,25 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
         jnp.broadcast_to(img_indices[:, None], (R, S)).reshape(-1)
         if img_indices is not None else None
     )
+    if per_sample_img is not None and idx is not None:
+        per_sample_img = _pad_one(per_sample_img)[idx]
     cc = colorcal if (colorcal is not None and img_indices is not None) else None
-    rgb_flat = rgb_apply(
-        params["rgb"], pos_flat, samples.flat_dirs(), sdf_gradients, geom_feat,
+    rgb_c = rgb_apply(
+        params["rgb"], pos_c, dirs_c, grads_c, geom_c,
         iter_nr_anneal, cfg.rgb_model, colorcal_params=cc,
         per_sample_img_indices=per_sample_img,
     )
+
+    # --- scatter back to the dense [R, S] layout for the per-ray math ---
+    if idx is not None:
+        vc = valid_c[:, None]
+        sdf = jnp.zeros((M + 1, 1)).at[idx].set(sdf_c * vc)[:M]
+        sdf_gradients = jnp.zeros((M + 1, 3)).at[idx].set(grads_c * vc)[:M]
+        rgb_flat = jnp.zeros((M + 1, 3)).at[idx].set(rgb_c * vc)[:M]
+    else:
+        sdf, sdf_gradients, rgb_flat = sdf_c, grads_c, rgb_c
+
+    compact = {"pos": pos_c, "sdf": sdf_c, "grads": grads_c, "valid": valid_c}
 
     inv_s = vr.variance_inv_s(params["variance"], forced_variance)
     weights, weights_sum, bg_transmittance = vr.neus_compute_weights(
@@ -300,7 +381,8 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
                                                 bg_samples.mask)
         pred_rgb = pred_rgb + bg_transmittance[:, None] * pred_rgb_bg
 
-    return pred_rgb, pred_normals, sdf, sdf_gradients, weights_sum, samples, inv_s, does_intersect
+    return (pred_rgb, pred_normals, compact, weights_sum, samples, inv_s,
+            does_intersect)
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +457,7 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
     )
 
     def loss_fn(p):
-        (pred_rgb, pred_normals, sdf, sdf_gradients, weights_sum, samples,
+        (pred_rgb, pred_normals, compact, weights_sum, samples,
          inv_s, does_intersect) = run_net(
             p, grid, k_render, origins, dirs, img_indices, iter_nr_anneal,
             cos_anneal_ratio, forced_variance, cfg, jitter=True,
@@ -384,24 +466,28 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
         loss_rgb = jnp.mean(jnp.abs(gt_rgb - pred_rgb) * does_intersect)
         loss = loss_rgb
 
-        # eikonal over the fg samples (only valid ones)
-        mask_flat = samples.flat_mask()
-        nvalid = jnp.maximum(jnp.sum(mask_flat), 1.0)
+        # eikonal over the fg samples — computed on the COMPACTED set
+        # (identical math: sum over valid / nr valid)
+        valid_c = compact["valid"]
+        grads_c = compact["grads"]
+        nvalid = jnp.maximum(jnp.sum(valid_c), 1.0)
         loss_eik = jnp.zeros(())
         if cfg.enable_eikonal:
-            gnorm = jnp.linalg.norm(sdf_gradients, axis=-1)
-            loss_eik = jnp.sum(jnp.where(mask_flat, (gnorm - 1.0) ** 2, 0.0)) / nvalid
+            gnorm = jnp.linalg.norm(grads_c, axis=-1)
+            loss_eik = jnp.sum(jnp.where(valid_c, (gnorm - 1.0) ** 2, 0.0)) / nvalid
             loss = loss + loss_eik * eik_w
 
         # curvature (annealed off after iter_start_reduce_curv; the host
-        # flips enable_curvature off once the weight hits 0)
+        # flips enable_curvature off once the weight hits 0) — also on the
+        # compacted set: the shifted-point SDF evaluation is the single
+        # most expensive loss term
         loss_curv = jnp.zeros(())
         if cfg.enable_curvature:
             _, curvature = sdf_curvature_from_gradient(
-                p["sdf"], k_curv, samples.flat_positions(), sdf_gradients,
+                p["sdf"], k_curv, compact["pos"], grads_c,
                 iter_nr_anneal, cfg.sdf_model,
             )
-            loss_curv = jnp.sum(jnp.where(mask_flat[:, None], curvature, 0.0)) / nvalid
+            loss_curv = jnp.sum(jnp.where(valid_c[:, None], curvature, 0.0)) / nvalid
             loss = loss + loss_curv * cfg.curvature_weight * global_weight_curvature
 
         # offsurface high-sdf loss (only with occupancy grid)
@@ -479,7 +565,7 @@ def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
                      cos_anneal_ratio, forced_variance, cfg: PermutoSDFTrainConfig):
-    pred_rgb, pred_normals, _, _, weights_sum, _, _, _ = run_net(
+    pred_rgb, pred_normals, _, weights_sum, _, _, _ = run_net(
         params, grid, jax.random.PRNGKey(0), origins, dirs, None,
         iter_nr_anneal, cos_anneal_ratio, forced_variance, cfg, jitter=False,
     )

@@ -145,8 +145,11 @@ def test_sdf_gradient_forward_vs_reverse_mode():
         SDFConfig, init_sdf, sdf_with_gradient,
     )
 
+    # table_bf16=False: this test isolates AD-direction equivalence, so both
+    # modes must run the same (exact) gather path — the packed-bf16 path is
+    # reverse-only and quantizes values (covered by test_encoding.py).
     cfg_f = SDFConfig(capacity=2 ** 9, nr_levels=4, nr_iters_for_c2f=1,
-                      gradient_mode="forward")
+                      gradient_mode="forward", table_bf16=False)
     cfg_r = _dc.replace(cfg_f, gradient_mode="reverse")
     params = init_sdf(jax.random.PRNGKey(0), cfg_f)
     pts = jax.random.uniform(jax.random.PRNGKey(1), (40, 3), minval=-0.4,

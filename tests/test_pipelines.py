@@ -142,3 +142,58 @@ def test_resume_roundtrip_matches_uninterrupted_run(tiny_reel):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     np.testing.assert_array_equal(np.asarray(grid_full.occupancy),
                                   np.asarray(grid_res.occupancy))
+
+
+def test_render_sample_budget_compaction_equivalence(tiny_reel):
+    """With a sparse grid, run_net with a compaction budget that covers all
+    valid samples must produce exactly the same render as the uncompacted
+    path; with a too-small budget it must degrade gracefully (samples
+    dropped from the mask, outputs finite)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    import jax.numpy as jnp
+
+    base = dict(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+    )
+    cfg_none = t.PermutoSDFTrainConfig(render_sample_budget=None, **base)
+    params = t.init_params(jax.random.PRNGKey(0), cfg_none, tiny_reel.nr_images)
+    grid = og.make_occupancy_grid(cfg_none.grid)
+    # sparsify SPATIALLY: only the x < -0.1 slab is occupied, so rays aimed
+    # at +x never collect samples (that is what makes fill < 100% in real
+    # training: rays that miss the object are discarded entirely)
+    centers = og.lin_idx_to_voxel_center(
+        cfg_none.grid, jnp.arange(cfg_none.grid.nr_voxels))
+    occ = centers[:, 0] < -0.1
+    grid = og.OccupancyGridState(values=grid.values, occupancy=occ)
+
+    key = jax.random.PRNGKey(2)
+    ang = jnp.linspace(-0.4, 0.4, 64)
+    dirs = jnp.stack([jnp.sin(ang), jnp.zeros(64), jnp.cos(ang)], -1)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (64, 1))
+
+    def render(cfg):
+        return t.run_net(params, grid, key, origins, dirs, None,
+                         jnp.asarray(100), 1.0, 0.8, cfg, jitter=False)
+
+    out_none = render(cfg_none)
+    M = 64 * (16 + 2 * 4)
+    # budget big enough for every valid sample but < M => compaction engaged
+    nr_valid = int(out_none[4].mask.sum())
+    assert nr_valid < M - 8, "grid sparsification did not reduce valid count"
+    cfg_big = t.PermutoSDFTrainConfig(
+        render_sample_budget=M - 8 if M - 8 > nr_valid else nr_valid, **base)
+    out_big = render(cfg_big)
+    np.testing.assert_allclose(np.asarray(out_none[0]), np.asarray(out_big[0]),
+                               rtol=1e-5, atol=1e-6)  # pred_rgb
+    np.testing.assert_allclose(np.asarray(out_none[1]), np.asarray(out_big[1]),
+                               rtol=1e-4, atol=1e-5)  # normals
+
+    # too-small budget: graceful drop
+    cfg_small = t.PermutoSDFTrainConfig(render_sample_budget=64, **base)
+    out_small = render(cfg_small)
+    assert int(out_small[4].mask.sum()) <= 64
+    for o in (out_small[0], out_small[1]):
+        assert np.isfinite(np.asarray(o)).all()
