@@ -56,3 +56,75 @@ def ssim(pred, gt, data_range: float = 1.0):
     num = (2 * mu_pg + c1) * (2 * s_pg + c2)
     den = (mu_p2 + mu_g2 + c1) * (s_p + s_g + c2)
     return jnp.mean(num / den)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS — perceptual distance (documented substitute)
+# ---------------------------------------------------------------------------
+#
+# The reference computes LPIPS via piq's pretrained-VGG implementation
+# (evaluate_psnr.py). Pretrained VGG weights are not obtainable in this
+# environment (no package, no network egress), so `lpips` below is a
+# RANDOM-FEATURE perceptual distance: the exact LPIPS formula (channel-
+# unit-normalized deep features, squared differences, spatial + layer
+# averaging; Zhang et al. 2018, arXiv 1801.03924) over a fixed-seed,
+# randomly initialized VGG-16-topology feature stack. Zhang et al. report
+# that even randomly initialized networks track human perceptual
+# similarity far better than pixel metrics (their Table 5); absolute
+# values are NOT comparable to pretrained-VGG LPIPS numbers, but the
+# metric orders image pairs consistently. Swap in calibrated weights via
+# the `params` argument when they are available.
+
+_VGG_LAYOUT = (  # VGG-16 conv blocks: (out_channels, nr_convs)
+    (64, 2), (128, 2), (256, 3), (512, 3), (512, 3),
+)
+
+
+def _lpips_params(key=None, seed: int = 0):
+    import jax
+
+    key = key if key is not None else jax.random.PRNGKey(seed)
+    params = []
+    c_in = 3
+    for c_out, nr in _VGG_LAYOUT:
+        block = []
+        for _ in range(nr):
+            key, k = jax.random.split(key)
+            w = jax.random.normal(k, (3, 3, c_in, c_out)) * np.sqrt(2.0 / (9 * c_in))
+            block.append(w)
+            c_in = c_out
+        params.append(block)
+    return params
+
+
+def _lpips_features(params, img):
+    """img [H, W, 3] in [0,1] -> list of block outputs (pre-pool)."""
+    x = (jnp.asarray(img, jnp.float32) - 0.5) * 2.0
+    x = x[None]  # NHWC
+    feats = []
+    for block in params:
+        for w in block:
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jax.nn.relu(x)
+        feats.append(x)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+    return feats
+
+
+def lpips(pred, gt, params=None, seed: int = 0):
+    """Perceptual distance in the LPIPS form (see module note: random
+    VGG-topology features unless calibrated ``params`` are provided)."""
+    params = params if params is not None else _lpips_params(seed=seed)
+    fa = _lpips_features(params, pred)
+    fb = _lpips_features(params, gt)
+    total = 0.0
+    for a, b in zip(fa, fb):
+        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+        total = total + jnp.mean(jnp.sum((a - b) ** 2, axis=-1))
+    return total / len(fa)

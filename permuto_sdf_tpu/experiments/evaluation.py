@@ -56,14 +56,59 @@ def cmd_render_images(args):
     print(f"rendered {reel.nr_images} views -> {args.out_dir}")
 
 
+def _maybe_clean(V, F, args):
+    """NeuS mask mesh-cleaning (reference evaluate_chamfer_distance.py:
+    110-167) when --clean_masks_npz is given: the npz holds ``masks``
+    [N, H, W] (bool/uint8) and ``world_mats`` [N, 3or4, 4]."""
+    if not getattr(args, "clean_masks_npz", None):
+        return V, F
+    from permuto_sdf_tpu.eval.mesh_cleaning import clean_mesh
+
+    data = np.load(args.clean_masks_npz)
+    V, F = clean_mesh(V, F, data["world_mats"],
+                      np.asarray(data["masks"]) > 0.5,
+                      dilate_kernel=args.dilate_kernel)
+    print(f"mask-cleaned mesh: {len(V)} verts {len(F)} faces remain")
+    return V, F
+
+
 def cmd_chamfer(args):
     from permuto_sdf_tpu.datasets.mesh_io import load_obj
-    from permuto_sdf_tpu.eval.chamfer import point_mesh_chamfer
+    from permuto_sdf_tpu.eval.chamfer import point_mesh_chamfer, dtu_chamfer
 
     pred = load_obj(args.pred_mesh)
+    V, F = _maybe_clean(pred.V, pred.F, args)
+
+    if args.protocol == "dtu":
+        # GT is the structured-light point cloud; optional official
+        # ObsMask/Plane .mat files engage the full DTUeval filtering
+        if args.gt_points.endswith(".npy"):
+            gt_pts = np.load(args.gt_points)
+        else:
+            gt = load_obj(args.gt_points)
+            gt_pts = gt.V
+        obs_mask = bb = res = plane = None
+        if args.obsmask_mat:
+            from scipy.io import loadmat
+
+            m = loadmat(args.obsmask_mat)
+            obs_mask, bb, res = m["ObsMask"], m["BB"], float(m["Res"])
+        if args.plane_mat:
+            from scipy.io import loadmat
+
+            plane = loadmat(args.plane_mat)["P"]
+        both, d2s, s2d = dtu_chamfer(
+            V, F, gt_pts, downsample_density=args.downsample or 0.2,
+            max_dist=args.max_dist if np.isfinite(args.max_dist) else 20.0,
+            obs_mask=obs_mask, bb=bb, res=res, ground_plane=plane,
+        )
+        print(json.dumps({"chamfer": both, "mean_d2s": d2s, "mean_s2d": s2d,
+                          "protocol": "dtu"}))
+        return
+
     gt = load_obj(args.gt_mesh)
     both, a2b, b2a = point_mesh_chamfer(
-        pred.V, pred.F, gt.V, gt.F,
+        V, F, gt.V, gt.F,
         downsample=args.downsample, max_dist=args.max_dist,
     )
     print(json.dumps({"chamfer": both, "pred_to_gt": a2b, "gt_to_pred": b2a}))
@@ -71,19 +116,23 @@ def cmd_chamfer(args):
 
 def cmd_psnr(args):
     import imageio.v2 as imageio
-    from permuto_sdf_tpu.eval.metrics import psnr, ssim
+    from permuto_sdf_tpu.eval.metrics import psnr, ssim, lpips, _lpips_params
 
     preds = sorted(os.listdir(args.pred_dir))
     gts = sorted(os.listdir(args.gt_dir))
-    scores_p, scores_s = [], []
+    lp_params = _lpips_params()
+    scores_p, scores_s, scores_l = [], [], []
     for p, g in zip(preds, gts):
         a = np.asarray(imageio.imread(os.path.join(args.pred_dir, p)), np.float32) / 255
         b = np.asarray(imageio.imread(os.path.join(args.gt_dir, g)), np.float32) / 255
         scores_p.append(float(psnr(a, b)))
         scores_s.append(float(ssim(a, b)))
+        scores_l.append(float(lpips(a, b, params=lp_params)))
     print(json.dumps({
         "psnr_mean": float(np.mean(scores_p)),
         "ssim_mean": float(np.mean(scores_s)),
+        "lpips_mean": float(np.mean(scores_l)),
+        "lpips_note": "random-VGG-feature LPIPS form (see eval/metrics.py)",
         "per_image_psnr": scores_p,
     }))
 
@@ -107,7 +156,19 @@ def main():
 
     p = sub.add_parser("chamfer")
     p.add_argument("--pred_mesh", required=True)
-    p.add_argument("--gt_mesh", required=True)
+    p.add_argument("--gt_mesh", default=None,
+                   help="GT mesh (generic protocol)")
+    p.add_argument("--protocol", default="generic", choices=["generic", "dtu"])
+    p.add_argument("--gt_points", default=None,
+                   help="DTU protocol: GT point cloud (.npy or .obj)")
+    p.add_argument("--obsmask_mat", default=None,
+                   help="DTU ObsMask<scan>_10.mat (optional)")
+    p.add_argument("--plane_mat", default=None,
+                   help="DTU Plane<scan>.mat ground plane (optional)")
+    p.add_argument("--clean_masks_npz", default=None,
+                   help="npz with masks [N,H,W] + world_mats [N,3,4]: "
+                        "NeuS-style mask cleaning before Chamfer")
+    p.add_argument("--dilate_kernel", type=int, default=101)
     p.add_argument("--downsample", type=float, default=0.0)
     p.add_argument("--max_dist", type=float, default=float("inf"))
     p.set_defaults(fn=cmd_chamfer)

@@ -223,7 +223,12 @@ def sphere_trace_compacted(
         bucket = bucket // 2
 
     # final sdf refresh for converged rays (the classic last evaluation);
-    # only the converged set needs it — reuse the last bucket machinery
+    # only the converged set needs it — reuse the last bucket machinery.
+    # NOTE: if more rays converged than fit this fixed bucket, the overflow
+    # rays return their LAST-EVALUATED sdf (one step stale) instead of the
+    # final-position value — harmless for shading (weights come from the
+    # converged mask). sphere_trace_adaptive sizes this bucket from the
+    # true converged count and has no such cap.
     (idx,) = jnp.nonzero((conv_f & alive_f)[:R], size=min(max(256, int(
         R * first_bucket_fraction)), R), fill_value=R)
     s = eval_sdf(pos_f[idx])
@@ -247,9 +252,11 @@ def sphere_trace_compacted(
 
 
 def pow2_bucket(n: int, lo: int = 256, hi: int = 1 << 22) -> int:
+    """Snap n up to the next bucket in the {2^k, 1.5*2^k} ladder (max 1.5x
+    overshoot, ~2 compiles per octave)."""
     b = lo
     while b < n and b < hi:
-        b *= 2
+        b = b * 3 // 2 if (b & (b - 1)) == 0 else b * 4 // 3
     return min(b, hi)
 
 
@@ -262,89 +269,118 @@ def _with_time(p, time_val):
 
 @functools.partial(jax.jit, static_argnames=(
     "boundary", "grid_cfg", "mip_factor", "nr_probes"))
-def _seed_rays(ray_origins, ray_dirs, boundary, grid_cfg, grid,
-               mip_factor: int = 4, nr_probes: int = 128):
-    """Per-ray start position + alive mask. With a grid, traverses a
-    conservative occupancy mip (``downsample_occupancy``): 128 probes at
-    half-a-coarse-voxel spacing are exactly as safe as 512 at half a fine
-    voxel, at 1/4 the gather instances. The seed lands at the START of the
-    first coarse-occupied segment (never past the true surface); the
-    in-trace empty-space advance covers the remaining fine skip."""
-    p_entry, t_entry, p_exit, t_exit, hit = boundary.ray_intersection(
+def _seed_intervals(ray_origins, ray_dirs, boundary, grid_cfg, grid,
+                    mip_factor: int = 4, nr_probes: int = 128):
+    """Per-ray occupancy INTERVAL table + start state for the tracer.
+
+    One probe pass over a conservative occupancy mip
+    (``og.downsample_occupancy``) gives each ray a [P] boolean occupancy
+    profile along [t_entry, t_exit]; from it, ``nxt[i]`` = first occupied
+    probe segment at-or-after i (suffix cummin). During tracing,
+    empty-space skipping is then ONE take_along_axis per ray per step —
+    replacing the reference's per-step DDA walk
+    (``OccupancyGridGPU.cuh:817-895``) and the previous 48-probe advance:
+    on TPU gathers cost per instance, so precomputing the intervals once
+    amortizes ~50x. Rays whose remaining path has no occupancy die
+    immediately (``nxt == P``).
+
+    Returns (t_start, t0, seg, t_exit, nxt [R,P] int16, alive).
+    """
+    p_entry, t_entry_c, p_exit, t_exit_c, hit = boundary.ray_intersection(
         ray_origins, ray_dirs
     )
+    t_entry = t_entry_c[:, 0]
+    t_exit = t_exit_c[:, 0]
+    P = nr_probes
     if grid is None or grid_cfg is None:
-        return p_entry, hit[:, 0]
+        nxt = jnp.zeros((ray_origins.shape[0], 1), jnp.int16)  # all-occupied
+        seg = (t_exit - t_entry)
+        return t_entry, t_entry, seg, t_exit, nxt, hit[:, 0]
     mip_cfg = og.mip_config(grid_cfg, mip_factor)
     mip = og.OccupancyGridState(
         values=jnp.zeros((1,), jnp.float32),
         occupancy=og.downsample_occupancy(grid_cfg, grid.occupancy, mip_factor),
     )
-    t_first, has_occ = og.compute_first_sample_start_of_occupied_regions(
-        mip_cfg, mip, ray_origins, ray_dirs, t_entry, t_exit,
-        nr_probes=nr_probes,
+    occ, seg, t0 = og._probe_occupancy(
+        mip_cfg, mip, ray_origins, ray_dirs, t_entry, t_exit, P
     )
-    # back off half a coarse probe segment so the seed is conservative, then
-    # nudge half a fine voxel along the ray like the reference
-    # (sdf_utils.py:131-133)
-    seg = (t_exit.reshape(-1) - t_entry.reshape(-1)) / nr_probes
-    t_first = jnp.maximum(t_first - 0.5 * seg, t_entry.reshape(-1))
-    pos = ray_origins + t_first[:, None] * ray_dirs
-    pos = pos + ray_dirs * grid_cfg.voxel_size * 0.5
-    return pos, has_occ & hit[:, 0]
+    idxs = jnp.where(occ, jnp.arange(P, dtype=jnp.int32)[None, :], P)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(idxs, -1), axis=1), -1)  # [R, P]
+    first = nxt[:, 0]
+    alive = (first < P) & hit[:, 0]
+    # start at the first occupied segment's start, nudged half a fine voxel
+    # along the ray like the reference (sdf_utils.py:131-133)
+    t_start = t0 + first.astype(jnp.float32) * seg \
+        + 0.5 * grid_cfg.voxel_size
+    t_start = jnp.minimum(jnp.maximum(t_start, t_entry), t_exit)
+    return t_start, t0, seg, t_exit, nxt.astype(jnp.int16), alive
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
+    "sdf_eval", "iters", "bucket", "sdf_multiplier",
     "sdf_converged_tresh", "time_val"))
-def _trace_rounds(sdf_eval, ctx, pos_f, dirs_f, alive_f, conv_f, sdf_f,
-                  grid_cfg, grid, iters: int, bucket: int,
-                  sdf_multiplier: float, sdf_converged_tresh: float,
-                  time_val):
-    """Run ``iters`` trace steps on a host-sized bucket of active rays and
-    scatter the state back. Returns the updated state + active-ray count."""
-    R = pos_f.shape[0] - 1
+def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, t0_f, seg_f, texit_f,
+                  nxt_f, t_f, alive_f, conv_f, sdf_f,
+                  iters: int, bucket: int, sdf_multiplier: float,
+                  sdf_converged_tresh: float, time_val):
+    """``iters`` trace steps on a host-sized bucket of active rays; state is
+    the per-ray t along the ray. Returns updated (t, alive, conv, sdf)
+    full-size state + the active count (the ONLY value the host fetches)."""
+    R = t_f.shape[0] - 1
+    P = nxt_f.shape[1]
     (idx,) = jnp.nonzero((alive_f & ~conv_f)[:R], size=bucket, fill_value=R)
-    sub_pos = pos_f[idx]
-    sub_dirs = dirs_f[idx]
+    o = origins_f[idx]
+    d = dirs_f[idx]
+    t0 = t0_f[idx]
+    seg = jnp.maximum(seg_f[idx], 1e-12)
+    t_exit = texit_f[idx]
+    nxt = nxt_f[idx].astype(jnp.int32)  # [B, P] row gather — cheap
+    t = t_f[idx]
     sub_alive = alive_f[idx] & (idx < R)
     sub_conv = conv_f[idx]
     sub_sdf = sdf_f[idx]
 
     for _ in range(iters):
-        s = sdf_eval(ctx, _with_time(sub_pos, time_val)).reshape(-1)
+        pos = o + t[:, None] * d
+        s = sdf_eval(ctx, _with_time(pos, time_val)).reshape(-1)
         act = ~sub_conv & sub_alive
         sub_sdf = jnp.where(act, s, sub_sdf)
-        step = jnp.where(act[:, None],
-                         sub_dirs * (s * sdf_multiplier)[:, None], 0.0)
-        new_pos = sub_pos + step
         sub_conv = sub_conv | ((jnp.abs(s) < sdf_converged_tresh) & sub_alive)
-        if grid is not None and grid_cfg is not None:
-            adv_pos, within = og.advance_sample_to_next_occupied_voxel(
-                grid_cfg, grid, sub_dirs, new_pos
-            )
-            move = (~sub_conv & sub_alive)[:, None]
-            new_pos = jnp.where(move, adv_pos, new_pos)
-            sub_alive = sub_alive & (sub_conv | within)
-        sub_pos = new_pos
+        act = ~sub_conv & sub_alive
+        t_new = t + s * sdf_multiplier
+        # empty-space skip via the precomputed interval table: if the
+        # probe segment holding t_new is unoccupied, jump to the start of
+        # the next occupied one; no occupied segment ahead => ray is done
+        i = jnp.clip(jnp.floor((t_new - t0) / seg).astype(jnp.int32), 0, P - 1)
+        j = jnp.take_along_axis(nxt, i[:, None], axis=-1)[:, 0]
+        t_skip = t0 + j.astype(jnp.float32) * seg
+        t_new = jnp.where(j > i, jnp.maximum(t_new, t_skip), t_new)
+        dead = (j >= P) | (t_new > t_exit)
+        sub_alive = sub_alive & (sub_conv | ~dead)
+        t = jnp.where(act, t_new, t)
 
-    pos_f = pos_f.at[idx].set(sub_pos)
+    t_f = t_f.at[idx].set(t)
     alive_f = alive_f.at[idx].set(sub_alive)
     conv_f = conv_f.at[idx].set(sub_conv)
     sdf_f = sdf_f.at[idx].set(sub_sdf)
     n_active = jnp.sum((alive_f & ~conv_f)[:R])
-    return pos_f, alive_f, conv_f, sdf_f, n_active
+    return t_f, alive_f, conv_f, sdf_f, n_active
 
 
 @functools.partial(jax.jit, static_argnames=("sdf_eval", "bucket", "time_val"))
 def _refresh_sdf(sdf_eval, ctx, pos_f, mask_f, sdf_f, bucket: int, time_val):
     """Re-evaluate the sdf at the final position of the masked rays (bucket
     sized by the host from the true converged count — every ray gets its
-    final-position sdf, unlike the fraction-capped variant)."""
+    final-position sdf)."""
     R = pos_f.shape[0] - 1
     (idx,) = jnp.nonzero(mask_f[:R], size=bucket, fill_value=R)
     s = sdf_eval(ctx, _with_time(pos_f[idx], time_val)).reshape(-1)
     return sdf_f.at[idx].set(jnp.where(idx < R, s, sdf_f[idx]))
+
+
+def _padded(x, fill=0.0):
+    pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
 
 
 def sphere_trace_adaptive(
@@ -363,47 +399,56 @@ def sphere_trace_adaptive(
     nr_refine_iters: int = 3,
     min_bucket: int = 256,
     mip_factor: int = 4,
+    seed_nr_probes: int = 128,
 ):
     """Sphere tracing with HOST-adaptive static-shape compaction.
 
     Covers the reference's boolean-mask compaction loop
     (``sdf_utils.py:149-186``) exactly: every round re-bins the measured
-    active set into a power-of-two bucket (one compile per size, cached),
-    so no ray is ever dropped regardless of how much of the frame is
-    foreground. ``sdf_eval`` / ``refine_sdf_eval`` must be stable function
-    objects (e.g. module-level or lru-cached closures) — they are jit
-    static args.
+    active set into a bucket from the {2^k, 1.5*2^k} ladder (one compile
+    per size, cached), so no ray is ever dropped regardless of how much of
+    the frame is foreground. Empty-space skipping uses per-ray occupancy
+    intervals precomputed by the seed pass (see :func:`_seed_intervals`);
+    the host fetches ONE scalar (the active count) per round — host
+    round-trips through the remote-TPU transport cost ~100 ms each and
+    dominated earlier designs.
+
+    ``sdf_eval`` / ``refine_sdf_eval`` must be stable function objects
+    (module-level or lru-cached) — they are jit static args.
 
     LOD: pass a cheap coarse-level ``sdf_eval`` for the march and the
     full-resolution field as ``refine_sdf_eval``; converged hits get
-    ``nr_refine_iters`` extra full-res steps (same convergence rule), which
-    removes the coarse bias at a fraction of a full-res march.
+    ``nr_refine_iters`` extra full-res steps (same convergence rule),
+    removing the coarse bias at a fraction of a full-res march.
 
     Returns (pos [R,3], sdf [R], converged [R], within_bounds [R]).
     """
     R = ray_origins.shape[0]
-    pos, alive = _seed_rays(ray_origins, ray_dirs, boundary_primitive,
-                            grid_cfg, grid, mip_factor=mip_factor)
+    t_start, t0, seg, t_exit, nxt, alive = _seed_intervals(
+        ray_origins, ray_dirs, boundary_primitive, grid_cfg, grid,
+        mip_factor=mip_factor, nr_probes=seed_nr_probes,
+    )
 
-    def padded(x, fill=0.0):
-        pad = jnp.full((1,) + x.shape[1:], fill, x.dtype)
-        return jnp.concatenate([x, pad], axis=0)
-
-    pos_f = padded(pos)
-    dirs_f = padded(ray_dirs)
-    alive_f = padded(alive, False)
+    origins_f = _padded(ray_origins)
+    dirs_f = _padded(ray_dirs)
+    t0_f = _padded(t0)
+    seg_f = _padded(seg, 1.0)
+    texit_f = _padded(t_exit)
+    nxt_f = jnp.concatenate([nxt, jnp.zeros((1, nxt.shape[1]), nxt.dtype)], 0)
+    t_f = _padded(t_start)
+    alive_f = _padded(alive, False)
     conv_f = jnp.zeros(R + 1, bool)
-    sdf_f = jnp.zeros(R + 1, pos.dtype)
+    sdf_f = jnp.zeros(R + 1, jnp.float32)
 
     n_active = int(jnp.sum(alive_f[:R]))
     for _ in range(nr_rounds):
         if n_active == 0:
             break
         bucket = pow2_bucket(n_active, lo=min_bucket, hi=max(min_bucket, R))
-        pos_f, alive_f, conv_f, sdf_f, n_active = _trace_rounds(
-            sdf_eval, ctx, pos_f, dirs_f, alive_f, conv_f, sdf_f,
-            grid_cfg, grid, iters_per_round, bucket, sdf_multiplier,
-            sdf_converged_tresh, time_val,
+        t_f, alive_f, conv_f, sdf_f, n_active = _trace_rounds(
+            sdf_eval, ctx, origins_f, dirs_f, t0_f, seg_f, texit_f, nxt_f,
+            t_f, alive_f, conv_f, sdf_f, iters_per_round, bucket,
+            sdf_multiplier, sdf_converged_tresh, time_val,
         )
         n_active = int(n_active)
 
@@ -413,24 +458,20 @@ def sphere_trace_adaptive(
         hit_f = conv_f & alive_f
         n_hit = int(jnp.sum(hit_f[:R]))
         if n_hit > 0:
-            conv_open = jnp.where(hit_f, False, conv_f)
             bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
-            # only the re-opened rays are active: freeze others via alive
-            alive_ref = hit_f
-            pos_f, alive_ref, conv_ref, sdf_f, _ = _trace_rounds(
-                refine_sdf_eval, refine_ctx, pos_f, dirs_f, alive_ref,
-                jnp.zeros_like(conv_f), sdf_f, grid_cfg, grid,
+            t_f, alive_ref, conv_ref, sdf_f, _ = _trace_rounds(
+                refine_sdf_eval, refine_ctx, origins_f, dirs_f, t0_f, seg_f,
+                texit_f, nxt_f, t_f, hit_f, jnp.zeros_like(conv_f), sdf_f,
                 nr_refine_iters, bucket, sdf_multiplier,
                 sdf_converged_tresh, time_val,
             )
-            # a refined ray stays converged if the full-res march converged
-            # (or it can fall out of bounds during refinement)
             conv_f = jnp.where(hit_f, conv_ref & alive_ref, conv_f)
-            alive_f = jnp.where(hit_f, alive_ref | ~hit_f, alive_f)
+            alive_f = jnp.where(hit_f, alive_ref, alive_f)
         final_eval, final_ctx = refine_sdf_eval, refine_ctx
     else:
         final_eval, final_ctx = sdf_eval, ctx
 
+    pos_f = origins_f + t_f[:, None] * dirs_f
     hit_f = conv_f & alive_f
     n_hit = int(jnp.sum(hit_f[:R]))
     if n_hit > 0:

@@ -690,8 +690,140 @@ def render_rays_sphere_traced_compacted(
     pred_rgb = jnp.zeros((R + 1, 3), sub_rgb.dtype).at[idx].set(sub_rgb * valid)[:R]
     pred_normals = jnp.zeros((R + 1, 3), sub_rgb.dtype).at[idx].set(
         sub_normals * valid)[:R]
-    weights = lit.astype(jnp.float32)[:, None]
+    # weights clamp to the rays ACTUALLY shaded: if the static bucket was
+    # smaller than the lit count, overflow rays fall back to background
+    # instead of rendering as weight-1 black holes. (The adaptive path —
+    # render_image_sphere_traced_fast — sizes the bucket from the true lit
+    # count and never overflows; this fixed-budget variant exists for
+    # fully-jitted single-graph use.)
+    shaded = jnp.zeros((R + 1,), bool).at[idx].set(idx < R)[:R]
+    weights = (lit & shaded).astype(jnp.float32)[:, None]
     return pred_rgb * weights, pred_normals * weights, weights
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sdf_eval(sdf_cfg: SDFConfig, max_levels):
+    """Stable (lru-cached) sdf-eval closures for the adaptive tracer — jit
+    static args must keep their identity across calls."""
+
+    def eval_fn(ctx, pts):
+        params_sdf, it = ctx
+        return sdf_apply(params_sdf, pts, it, sdf_cfg,
+                         max_levels=max_levels)[0].reshape(-1)
+
+    return eval_fn
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket", "grid_cfg"))
+def _lit_and_state(pos, converged, alive, grid, grid_cfg, cfg, bucket=None):
+    in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
+    if grid_cfg is not None:
+        in_bounds = in_bounds & og.check_occupancy(grid_cfg, grid, pos)
+    return converged & alive & in_bounds
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _shade_hits(params, pos, dirs, lit, iter_nr_anneal, cfg: PermutoSDFTrainConfig,
+                bucket: int):
+    """Shade exactly the lit rays (host-sized power-of-two bucket): full-res
+    SDF gradient for normals + RGB model, scattered back to the frame."""
+    R = pos.shape[0]
+    (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
+    sub_pos = _pad_one(pos)[idx]
+    sub_dirs = _pad_one(dirs)[idx]
+    _, grads_end, geom_end = sdf_with_gradient(
+        params["sdf"], sub_pos, iter_nr_anneal, cfg.sdf_model
+    )
+    sub_rgb = rgb_apply(params["rgb"], sub_pos, sub_dirs, grads_end, geom_end,
+                        iter_nr_anneal, cfg.rgb_model)
+    sub_normals = grads_end / (
+        jnp.linalg.norm(grads_end, axis=-1, keepdims=True) + 1e-12
+    )
+    valid = (idx < R)[:, None].astype(sub_rgb.dtype)
+    rgb = jnp.zeros((R + 1, 3), sub_rgb.dtype).at[idx].set(sub_rgb * valid)[:R]
+    normals = jnp.zeros((R + 1, 3), sub_rgb.dtype).at[idx].set(
+        sub_normals * valid)[:R]
+    weights = lit.astype(jnp.float32)[:, None]
+    return rgb * weights, normals * weights, weights
+
+
+@jax.jit
+def _quantize_frame(rgb, normals, weights):
+    """Device-side uint8 packing of a frame before the device->host copy.
+
+    Through this environment's remote-TPU transport, float32 transfers run
+    at ~2 MB/s while uint8 runs at ~53 MB/s (measured) — a full-HD float
+    frame costs 12 s JUST to fetch. Quantizing rgb/normals/alpha to uint8
+    on device makes the copy ~25x cheaper at invisible precision cost
+    (displays and PNGs are uint8 anyway)."""
+    q = lambda x: jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return q(rgb), q(normals * 0.5 + 0.5), q(weights)
+
+
+def _dequantize_frame(rgb_q, normals_q, weights_q):
+    rgb = np.asarray(rgb_q, np.float32) / 255.0
+    normals = np.asarray(normals_q, np.float32) / 255.0 * 2.0 - 1.0
+    weights = np.asarray(weights_q, np.float32) / 255.0
+    return rgb, normals, weights
+
+
+def render_image_sphere_traced_fast(
+        params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
+        cfg: PermutoSDFTrainConfig, chunk: int = 1 << 21,
+        lod_levels: int | None = 12, nr_rounds: int = 5,
+        iters_per_round: int = 3, nr_refine_iters: int = 4,
+        sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
+        mip_factor: int = 4):
+    """The interactive rendering fast path (reference: "render at
+    interactive speeds" via sphere tracing, README.md:19 +
+    run_net_sphere_traced, train_permuto_sdf.py:211-242).
+
+    Host-adaptive compaction everywhere: mip-seeded trace buckets sized
+    from measured active counts (ops/sphere_trace.sphere_trace_adaptive),
+    LOD march on the coarsest ``lod_levels`` encoding levels with full-res
+    refinement of the hits, and a shading bucket sized from the true lit
+    count (no silent black holes — every lit ray is shaded)."""
+    from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_adaptive, pow2_bucket
+
+    origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
+    n = origins.shape[0]
+    pad = (-n) % chunk
+    origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+    dirs = jnp.concatenate(
+        [dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+
+    it = jnp.asarray(iter_nr_anneal)
+    ctx = (params["sdf"], it)
+    full_eval = _make_sdf_eval(cfg.sdf_model, None)
+    if lod_levels is not None and lod_levels < cfg.nr_levels:
+        march_eval = _make_sdf_eval(cfg.sdf_model, lod_levels)
+        refine_eval, refine_ctx = full_eval, ctx
+    else:
+        march_eval, refine_eval, refine_ctx = full_eval, None, None
+
+    grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
+    rgbs, normals, alphas = [], [], []
+    for i in range(0, n + pad, chunk):
+        o, d = origins[i : i + chunk], dirs[i : i + chunk]
+        pos, sdf, conv, alive = sphere_trace_adaptive(
+            march_eval, ctx, o, d, BOUND, nr_rounds, iters_per_round,
+            sdf_multiplier, sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
+            refine_sdf_eval=refine_eval, refine_ctx=refine_ctx,
+            nr_refine_iters=nr_refine_iters, mip_factor=mip_factor,
+        )
+        lit = _lit_and_state(pos, conv, alive, grid, grid_cfg, cfg)
+        n_lit = int(jnp.sum(lit))
+        bucket = pow2_bucket(n_lit, lo=256, hi=max(256, chunk))
+        rgb, nrm, w = _shade_hits(params, pos, d, lit, it, cfg, bucket)
+        rgb, nrm, w = _dequantize_frame(*_quantize_frame(rgb, nrm, w))
+        rgbs.append(rgb)
+        normals.append(nrm)
+        alphas.append(w)
+    rgb = np.concatenate(rgbs)[:n].reshape(height, width, 3)
+    nrm = np.concatenate(normals)[:n].reshape(height, width, 3)
+    alpha = np.concatenate(alphas)[:n].reshape(height, width, 1)
+    return rgb, nrm, alpha
 
 
 def render_image_sphere_traced(params, grid, K, tf_world_cam, width, height,
@@ -737,7 +869,8 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
           checkpoint_path: str | None = None,
           experiment_name: str = "permuto_sdf", save_every: int = 10000,
           callbacks=None, dynamic_nr_rays: bool = True,
-          resume_from: str | None = None):
+          resume_from: str | None = None,
+          data_parallel: bool | None = None):
     """``dynamic_nr_rays`` is the reference's load-balancing trick
     (train_permuto_sdf.py:394-397): rescale the ray count so the total
     packed sample count stays near target_nr_of_samples — here snapped to
@@ -746,8 +879,32 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
     ``resume_from`` points at a ``<ckpt>/<exp>/<iter>/models`` dir written
     by a previous run; training continues from the saved iteration with
     exact optimizer state (capability the reference lacks — its checkpoints
-    are inference-only, permuto_sdf_utils.py:222-237)."""
+    are inference-only, permuto_sdf_utils.py:222-237).
+
+    ``data_parallel`` (default: auto — on iff more than one device is
+    visible) shards ray batches over a 1-D device mesh with pmean'd
+    gradients over ICI (parallel/data_parallel.py). ``cfg.nr_rays`` is the
+    PER-DEVICE ray count; params/grid/reel are replicated. The dynamic
+    rebalancer then holds the per-device sample budget, so adding chips
+    scales total rays/step linearly. The reference has no multi-GPU path
+    (SURVEY.md §2.3) — this is a new capability under the same API."""
     nr_iters = nr_iters or cfg.iter_finish_training
+    if data_parallel is None:
+        data_parallel = jax.device_count() > 1
+    mesh = None
+    dp_step_cache = {}
+    if data_parallel:
+        from permuto_sdf_tpu.parallel import make_ray_mesh, make_dp_train_step, dp_keys
+
+        mesh = make_ray_mesh()
+
+        def get_dp_step(step_cfg):
+            if step_cfg not in dp_step_cache:
+                dp_step_cache[step_cfg] = make_dp_train_step(
+                    compute_loss_and_grads, apply_updates, mesh, step_cfg,
+                    optimizer,
+                )
+            return dp_step_cache[step_cfg]
     target_nr_samples = cfg.nr_rays * (
         cfg.max_nr_samples_per_ray + 2 * cfg.nr_samples_imp_sampling
     )
@@ -793,9 +950,17 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
             if cfg.use_occupancy_grid and it % cfg.grid_update_every == 0:
                 grid = occupancy_update(params, grid, k_grid, it_anneal,
                                         last_inv_s, cfg)
-            params, opt_state, loss, aux = train_step(
-                params, opt_state, grid, reel, k_step, it, cfg, optimizer
-            )
+            if data_parallel:
+                from permuto_sdf_tpu.parallel import dp_keys
+
+                params, opt_state, loss, aux = get_dp_step(cfg)(
+                    params, opt_state, grid, reel, dp_keys(k_step, mesh),
+                    jnp.asarray(it),
+                )
+            else:
+                params, opt_state, loss, aux = train_step(
+                    params, opt_state, grid, reel, k_step, it, cfg, optimizer
+                )
             last_inv_s = aux["inv_s"]
             if dynamic_nr_rays and it % 50 == 0:
                 # rebalance ray count toward the fixed sample budget

