@@ -111,6 +111,11 @@ def cmd_vis4d(args):
     cfg = SDFConfig(in_channels=4, geom_feat_size_out=0, nr_iters_for_c2f=3000)
     params = ckpt.load_model(args.ckpt, "sdf_model")
     os.makedirs(args.out_dir, exist_ok=True)
+    if args.render_sweep:
+        from permuto_sdf_tpu.train.train_4d_sdf import render_time_sweep
+
+        render_time_sweep(params, cfg, args.out_dir, nr_times=args.nr_times,
+                          width=args.width, height=args.height)
     for i in range(args.nr_times):
         t = i / max(args.nr_times - 1, 1)
         V, F = extract_mesh_at_time(params, cfg, t, nr_points_per_dim=args.res)
@@ -146,6 +151,11 @@ def main():
     p.add_argument("--out_dir", required=True)
     p.add_argument("--nr_times", type=int, default=10)
     p.add_argument("--res", type=int, default=96)
+    p.add_argument("--render_sweep", action="store_true",
+                   help="also render sphere-traced normal-shaded PNGs of "
+                        "the time sweep (vis_4d_sdf equivalent)")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
     p.set_defaults(fn=cmd_vis4d)
 
     args = parser.parse_args()

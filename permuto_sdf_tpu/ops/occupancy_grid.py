@@ -258,6 +258,37 @@ def compute_samples_in_occupied_regions(
     )
 
 
+def chebyshev_empty_distance(cfg: OccupancyGridConfig, occupancy: jnp.ndarray,
+                             max_dist: int = 15) -> jnp.ndarray:
+    """[V^3] int32: L-inf (Chebyshev) voxel distance to the nearest occupied
+    voxel, capped at ``max_dist`` (0 = occupied).
+
+    The sphere tracer's empty-space skip: a point whose voxel has distance
+    k can safely advance (k-1) voxel widths along any ray without entering
+    occupied space (L2 >= L-inf). One gather per ray per step replaces the
+    reference's per-step DDA walk (``OccupancyGridGPU.cuh:817-895``) and
+    any per-frame ray probing: the field depends only on the GRID, so it
+    is computed once per grid state (``max_dist`` min-pool sweeps, pure
+    VPU work) and amortizes over every frame rendered from it."""
+    v = cfg.nr_voxels_per_dim
+    occ3 = occupancy.reshape(v, v, v)
+    d = jnp.where(occ3, 0, max_dist).astype(jnp.int32)
+    for _ in range(max_dist):
+        neigh = -jax.lax.reduce_window(
+            -d, jnp.iinfo(jnp.int32).min, jax.lax.max,
+            (3, 3, 3), (1, 1, 1), "SAME",
+        )
+        d = jnp.minimum(d, neigh + 1)
+    return d.reshape(-1)
+
+
+def empty_distance_at(cfg: OccupancyGridConfig, dist_field: jnp.ndarray,
+                      points: jnp.ndarray, max_dist: int = 15) -> jnp.ndarray:
+    """[N] voxel distances at world points (out-of-grid -> max_dist)."""
+    lin, in_bounds = point_to_lin_idx(cfg, points)
+    return jnp.where(in_bounds, jnp.take(dist_field, lin), max_dist)
+
+
 def mip_config(cfg: OccupancyGridConfig, factor: int) -> OccupancyGridConfig:
     """Config of the ``factor``x-downsampled grid (same extent/translation)."""
     assert cfg.nr_voxels_per_dim % factor == 0

@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 from typing import Callable, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -267,74 +268,33 @@ def _with_time(p, time_val):
     return jnp.concatenate([p, t], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "boundary", "grid_cfg", "mip_factor", "nr_probes"))
-def _seed_intervals(ray_origins, ray_dirs, boundary, grid_cfg, grid,
-                    mip_factor: int = 4, nr_probes: int = 128):
-    """Per-ray occupancy INTERVAL table + start state for the tracer.
+_EMPTY_DIST_CAP = 15  # chebyshev_empty_distance cap (voxels)
 
-    One probe pass over a conservative occupancy mip
-    (``og.downsample_occupancy``) gives each ray a [P] boolean occupancy
-    profile along [t_entry, t_exit]; from it, ``nxt[i]`` = first occupied
-    probe segment at-or-after i (suffix cummin). During tracing,
-    empty-space skipping is then ONE take_along_axis per ray per step —
-    replacing the reference's per-step DDA walk
-    (``OccupancyGridGPU.cuh:817-895``) and the previous 48-probe advance:
-    on TPU gathers cost per instance, so precomputing the intervals once
-    amortizes ~50x. Rays whose remaining path has no occupancy die
-    immediately (``nxt == P``).
 
-    Returns (t_start, t0, seg, t_exit, nxt [R,P] int16, alive).
-    """
-    p_entry, t_entry_c, p_exit, t_exit_c, hit = boundary.ray_intersection(
-        ray_origins, ray_dirs
-    )
-    t_entry = t_entry_c[:, 0]
-    t_exit = t_exit_c[:, 0]
-    P = nr_probes
-    if grid is None or grid_cfg is None:
-        nxt = jnp.zeros((ray_origins.shape[0], 1), jnp.int16)  # all-occupied
-        seg = (t_exit - t_entry)
-        return t_entry, t_entry, seg, t_exit, nxt, hit[:, 0]
-    mip_cfg = og.mip_config(grid_cfg, mip_factor)
-    mip = og.OccupancyGridState(
-        values=jnp.zeros((1,), jnp.float32),
-        occupancy=og.downsample_occupancy(grid_cfg, grid.occupancy, mip_factor),
-    )
-    occ, seg, t0 = og._probe_occupancy(
-        mip_cfg, mip, ray_origins, ray_dirs, t_entry, t_exit, P
-    )
-    idxs = jnp.where(occ, jnp.arange(P, dtype=jnp.int32)[None, :], P)
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(idxs, -1), axis=1), -1)  # [R, P]
-    first = nxt[:, 0]
-    alive = (first < P) & hit[:, 0]
-    # start at the first occupied segment's start, nudged half a fine voxel
-    # along the ray like the reference (sdf_utils.py:131-133)
-    t_start = t0 + first.astype(jnp.float32) * seg \
-        + 0.5 * grid_cfg.voxel_size
-    t_start = jnp.minimum(jnp.maximum(t_start, t_entry), t_exit)
-    return t_start, t0, seg, t_exit, nxt.astype(jnp.int16), alive
+@functools.partial(jax.jit, static_argnames=("grid_cfg",))
+def _grid_distance_field(grid_cfg, grid):
+    return og.chebyshev_empty_distance(grid_cfg, grid.occupancy,
+                                       _EMPTY_DIST_CAP)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sdf_eval", "iters", "bucket", "sdf_multiplier",
+    "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
     "sdf_converged_tresh", "time_val"))
-def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, t0_f, seg_f, texit_f,
-                  nxt_f, t_f, alive_f, conv_f, sdf_f,
+def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
+                  t_f, alive_f, conv_f, sdf_f, grid_cfg,
                   iters: int, bucket: int, sdf_multiplier: float,
                   sdf_converged_tresh: float, time_val):
     """``iters`` trace steps on a host-sized bucket of active rays; state is
-    the per-ray t along the ray. Returns updated (t, alive, conv, sdf)
-    full-size state + the active count (the ONLY value the host fetches)."""
+    the per-ray t along the ray. Empty-space skipping reads the grid's
+    Chebyshev distance field (og.chebyshev_empty_distance): ONE gather per
+    ray per step, grid-resident, no per-frame precomputation. Returns the
+    updated full-size state + counts (active, converged) — the only values
+    the host fetches."""
     R = t_f.shape[0] - 1
-    P = nxt_f.shape[1]
     (idx,) = jnp.nonzero((alive_f & ~conv_f)[:R], size=bucket, fill_value=R)
     o = origins_f[idx]
     d = dirs_f[idx]
-    t0 = t0_f[idx]
-    seg = jnp.maximum(seg_f[idx], 1e-12)
     t_exit = texit_f[idx]
-    nxt = nxt_f[idx].astype(jnp.int32)  # [B, P] row gather — cheap
     t = t_f[idx]
     sub_alive = alive_f[idx] & (idx < R)
     sub_conv = conv_f[idx]
@@ -348,14 +308,15 @@ def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, t0_f, seg_f, texit_f,
         sub_conv = sub_conv | ((jnp.abs(s) < sdf_converged_tresh) & sub_alive)
         act = ~sub_conv & sub_alive
         t_new = t + s * sdf_multiplier
-        # empty-space skip via the precomputed interval table: if the
-        # probe segment holding t_new is unoccupied, jump to the start of
-        # the next occupied one; no occupied segment ahead => ray is done
-        i = jnp.clip(jnp.floor((t_new - t0) / seg).astype(jnp.int32), 0, P - 1)
-        j = jnp.take_along_axis(nxt, i[:, None], axis=-1)[:, 0]
-        t_skip = t0 + j.astype(jnp.float32) * seg
-        t_new = jnp.where(j > i, jnp.maximum(t_new, t_skip), t_new)
-        dead = (j >= P) | (t_new > t_exit)
+        if grid_cfg is not None and dist_field is not None:
+            # a voxel at Chebyshev distance k to occupancy allows a safe
+            # (k-1)-voxel advance along any direction (L2 >= L-inf)
+            p_new = o + t_new[:, None] * d
+            k = og.empty_distance_at(grid_cfg, dist_field, p_new,
+                                     _EMPTY_DIST_CAP)
+            t_new = t_new + jnp.maximum(k - 1, 0).astype(t.dtype) \
+                * grid_cfg.voxel_size
+        dead = t_new > t_exit
         sub_alive = sub_alive & (sub_conv | ~dead)
         t = jnp.where(act, t_new, t)
 
@@ -364,7 +325,8 @@ def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, t0_f, seg_f, texit_f,
     conv_f = conv_f.at[idx].set(sub_conv)
     sdf_f = sdf_f.at[idx].set(sub_sdf)
     n_active = jnp.sum((alive_f & ~conv_f)[:R])
-    return t_f, alive_f, conv_f, sdf_f, n_active
+    n_hit = jnp.sum((alive_f & conv_f)[:R])
+    return t_f, alive_f, conv_f, sdf_f, jnp.stack([n_active, n_hit])
 
 
 @functools.partial(jax.jit, static_argnames=("sdf_eval", "bucket", "time_val"))
@@ -398,18 +360,19 @@ def sphere_trace_adaptive(
     refine_ctx=None,
     nr_refine_iters: int = 3,
     min_bucket: int = 256,
-    mip_factor: int = 4,
-    seed_nr_probes: int = 128,
+    dist_field=None,             # precomputed _grid_distance_field(grid_cfg, grid)
+    return_n_hit: bool = False,
 ):
     """Sphere tracing with HOST-adaptive static-shape compaction.
 
     Covers the reference's boolean-mask compaction loop
-    (``sdf_utils.py:149-186``) exactly: every round re-bins the measured
-    active set into a bucket from the {2^k, 1.5*2^k} ladder (one compile
-    per size, cached), so no ray is ever dropped regardless of how much of
-    the frame is foreground. Empty-space skipping uses per-ray occupancy
-    intervals precomputed by the seed pass (see :func:`_seed_intervals`);
-    the host fetches ONE scalar (the active count) per round — host
+    (``sdf_utils.py:149-186``): every round re-bins the measured active set
+    into a bucket from the {2^k, 1.5*2^k} ladder (one compile per size,
+    cached), so no ray is ever dropped regardless of how much of the frame
+    is foreground. Empty-space skipping reads the occupancy grid's
+    Chebyshev distance field — computed ONCE per grid state (pass
+    ``dist_field`` to amortize it across frames/chunks), one gather per
+    ray per step. The host fetches one tiny count array per round —
     round-trips through the remote-TPU transport cost ~100 ms each and
     dominated earlier designs.
 
@@ -421,62 +384,66 @@ def sphere_trace_adaptive(
     ``nr_refine_iters`` extra full-res steps (same convergence rule),
     removing the coarse bias at a fraction of a full-res march.
 
-    Returns (pos [R,3], sdf [R], converged [R], within_bounds [R]).
+    Returns (pos [R,3], sdf [R], converged [R], within_bounds [R])
+    (+ the converged count when ``return_n_hit``, saving the caller a
+    device round-trip).
     """
     R = ray_origins.shape[0]
-    t_start, t0, seg, t_exit, nxt, alive = _seed_intervals(
-        ray_origins, ray_dirs, boundary_primitive, grid_cfg, grid,
-        mip_factor=mip_factor, nr_probes=seed_nr_probes,
+    p_entry, t_entry_c, _, t_exit_c, hit = boundary_primitive.ray_intersection(
+        ray_origins, ray_dirs
     )
+    if grid is not None and grid_cfg is not None and dist_field is None:
+        dist_field = _grid_distance_field(grid_cfg, grid)
+    if grid is None or grid_cfg is None:
+        dist_field = None
 
     origins_f = _padded(ray_origins)
     dirs_f = _padded(ray_dirs)
-    t0_f = _padded(t0)
-    seg_f = _padded(seg, 1.0)
-    texit_f = _padded(t_exit)
-    nxt_f = jnp.concatenate([nxt, jnp.zeros((1, nxt.shape[1]), nxt.dtype)], 0)
-    t_f = _padded(t_start)
-    alive_f = _padded(alive, False)
+    texit_f = _padded(t_exit_c[:, 0])
+    t_f = _padded(t_entry_c[:, 0])
+    alive_f = _padded(hit[:, 0], False)
     conv_f = jnp.zeros(R + 1, bool)
     sdf_f = jnp.zeros(R + 1, jnp.float32)
 
     n_active = int(jnp.sum(alive_f[:R]))
+    n_hit = 0
     for _ in range(nr_rounds):
         if n_active == 0:
             break
         bucket = pow2_bucket(n_active, lo=min_bucket, hi=max(min_bucket, R))
-        t_f, alive_f, conv_f, sdf_f, n_active = _trace_rounds(
-            sdf_eval, ctx, origins_f, dirs_f, t0_f, seg_f, texit_f, nxt_f,
-            t_f, alive_f, conv_f, sdf_f, iters_per_round, bucket,
+        t_f, alive_f, conv_f, sdf_f, counts = _trace_rounds(
+            sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
+            t_f, alive_f, conv_f, sdf_f, grid_cfg, iters_per_round, bucket,
             sdf_multiplier, sdf_converged_tresh, time_val,
         )
-        n_active = int(n_active)
+        counts = np.asarray(counts)
+        n_active, n_hit = int(counts[0]), int(counts[1])
 
-    if refine_sdf_eval is not None:
+    if refine_sdf_eval is not None and n_hit > 0:
         # LOD refinement: re-open the converged set and march it with the
         # full-resolution field
         hit_f = conv_f & alive_f
-        n_hit = int(jnp.sum(hit_f[:R]))
-        if n_hit > 0:
-            bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
-            t_f, alive_ref, conv_ref, sdf_f, _ = _trace_rounds(
-                refine_sdf_eval, refine_ctx, origins_f, dirs_f, t0_f, seg_f,
-                texit_f, nxt_f, t_f, hit_f, jnp.zeros_like(conv_f), sdf_f,
-                nr_refine_iters, bucket, sdf_multiplier,
-                sdf_converged_tresh, time_val,
-            )
-            conv_f = jnp.where(hit_f, conv_ref & alive_ref, conv_f)
-            alive_f = jnp.where(hit_f, alive_ref, alive_f)
+        bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
+        t_f, alive_ref, conv_ref, sdf_f, counts = _trace_rounds(
+            refine_sdf_eval, refine_ctx, origins_f, dirs_f, texit_f,
+            dist_field, t_f, hit_f, jnp.zeros_like(conv_f), sdf_f,
+            grid_cfg, nr_refine_iters, bucket, sdf_multiplier,
+            sdf_converged_tresh, time_val,
+        )
+        conv_f = jnp.where(hit_f, conv_ref & alive_ref, conv_f)
+        alive_f = jnp.where(hit_f, alive_ref, alive_f)
+        n_hit = int(np.asarray(counts)[1])
         final_eval, final_ctx = refine_sdf_eval, refine_ctx
     else:
         final_eval, final_ctx = sdf_eval, ctx
 
     pos_f = origins_f + t_f[:, None] * dirs_f
     hit_f = conv_f & alive_f
-    n_hit = int(jnp.sum(hit_f[:R]))
     if n_hit > 0:
         bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
         sdf_f = _refresh_sdf(final_eval, final_ctx, pos_f, hit_f, sdf_f,
                              bucket, time_val)
 
-    return pos_f[:R], sdf_f[:R], (conv_f & alive_f)[:R], alive_f[:R]
+    out = (pos_f[:R], sdf_f[:R], (conv_f & alive_f)[:R], alive_f[:R])
+    return out + (n_hit,) if return_n_hit else out
+

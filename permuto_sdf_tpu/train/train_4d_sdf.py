@@ -38,14 +38,78 @@ from permuto_sdf_tpu.train import checkpoint as ckpt
 from permuto_sdf_tpu.train.train_sdf_from_mesh import make_optimizer
 
 
+def hidden_vertex_mask(V: np.ndarray, F: np.ndarray, res: int = 128,
+                       reach: int = 2) -> np.ndarray:
+    """[Nv] bool — vertices buried inside the mesh (never visible from
+    outside).
+
+    The reference removes fully-occluded vertices from its mesh sequences
+    with embree ambient occlusion (100 rays, cull AO < 0.01 —
+    ``/root/reference/permuto_sdf_py/train_4d_sdf.py:78-86``): interior
+    anatomy of e.g. the horse_gallop meshes would otherwise pollute the
+    surface samples. Same intent here without a ray tracer: voxelize the
+    surface at ``res``^3, flood-fill "outside air" from the volume border
+    through unoccupied voxels (scipy binary_propagation), and mark a vertex
+    hidden iff no outside-air voxel lies within ``reach`` voxels of it —
+    exactly the fully-enclosed set the AO<0.01 test identifies."""
+    from scipy.ndimage import binary_propagation, binary_dilation
+
+    V = np.asarray(V, np.float64)
+    lo = V.min(0)
+    hi = V.max(0)
+    # pad the volume so outside air surrounds the mesh on every side (a
+    # mesh touching the volume border would otherwise read as "enclosed")
+    margin = (hi - lo).max() * (float(reach) + 2.0) / res
+    lo = lo - margin
+    hi = hi + margin
+    cell = (hi - lo).max() / res
+
+    # voxelize: vertices + triangle-surface samples at ~cell/2 pitch
+    tri = V[np.asarray(F, np.int64)]
+    v1, v2 = tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
+    n_sub = int(np.ceil(max(np.linalg.norm(v1, axis=-1).max(),
+                            np.linalg.norm(v2, axis=-1).max()) / (cell / 2)))
+    n_sub = min(max(n_sub, 1), 32)
+    samples = [V]
+    for a in range(n_sub + 1):
+        for b in range(n_sub + 1 - a):
+            u, w = a / max(n_sub, 1), b / max(n_sub, 1)
+            samples.append(tri[:, 0] + u * v1 + w * v2)
+    pts = np.concatenate(samples, 0)
+    ijk = np.clip(((pts - lo) / cell).astype(np.int64), 0, res - 1)
+    occ = np.zeros((res, res, res), bool)
+    occ[ijk[:, 0], ijk[:, 1], ijk[:, 2]] = True
+
+    seed_border = np.zeros_like(occ)
+    seed_border[[0, -1], :, :] = seed_border[:, [0, -1], :] = True
+    seed_border[:, :, [0, -1]] = True
+    outside = binary_propagation(seed_border & ~occ, mask=~occ)
+    near_outside = binary_dilation(outside, iterations=reach)
+
+    vijk = np.clip(((V - lo) / cell).astype(np.int64), 0, res - 1)
+    return ~near_outside[vijk[:, 0], vijk[:, 1], vijk[:, 2]]
+
+
+def _drop_vertices(V, F, drop_mask):
+    keep = ~drop_mask
+    index = np.full(len(V), -1, np.int64)
+    index[keep] = np.arange(keep.sum())
+    F = np.asarray(F, np.int64)
+    fkeep = keep[F[:, 0]] & keep[F[:, 1]] & keep[F[:, 2]]
+    return V[keep], index[F[fkeep]]
+
+
 def load_mesh_sequence_points(sequence_path: str, points_per_frame: int = 30000,
-                              nr_time_interp: int = 20, seed: int = 0):
+                              nr_time_interp: int = 20, seed: int = 0,
+                              cull_hidden: bool = True):
     """Directory of OBJ frames -> (points_time [N,4], normals [N,3]).
 
     Frames are normalized by the first frame (center + scale to fit the
     [-0.5, 0.5] box), times spread uniformly over [0, 1], and consecutive
     frames linearly interpolated ``nr_time_interp`` times (valid because the
-    reference's sequences share topology across frames)."""
+    reference's sequences share topology across frames). ``cull_hidden``
+    removes vertices buried inside the first frame from every frame, like
+    the reference's embree-AO cull (see :func:`hidden_vertex_mask`)."""
     paths = sorted(glob.glob(os.path.join(sequence_path, "*.obj")))
     if not paths:
         raise FileNotFoundError(f"no .obj frames in {sequence_path}")
@@ -53,6 +117,23 @@ def load_mesh_sequence_points(sequence_path: str, points_per_frame: int = 30000,
     v0 = meshes[0].V
     center = (v0.max(0) + v0.min(0)) / 2.0
     scale = 0.9 / np.abs(v0 - center).max() / 2.0
+
+    if cull_hidden:
+        # cull decided on frame 0, applied to every same-topology frame
+        # (reference train_4d_sdf.py:78-86)
+        hidden = hidden_vertex_mask(meshes[0].V, meshes[0].F)
+        if hidden.any():
+            culled = []
+            for m in meshes:
+                if m.V.shape == meshes[0].V.shape and np.array_equal(
+                        m.F, meshes[0].F):
+                    Vc, Fc = _drop_vertices(m.V, m.F, hidden)
+                    culled.append(Mesh(Vc.astype(np.float32), Fc))
+                else:
+                    culled.append(m)
+            meshes = culled
+            print(f"culled {int(hidden.sum())} hidden vertices "
+                  f"({hidden.mean():.1%}) from the sequence")
 
     rng = np.random.default_rng(seed)
     all_pts, all_nrm = [], []
@@ -163,6 +244,73 @@ def extract_mesh_at_time(params, cfg: SDFConfig, time_val: float,
         return sdf_apply(params, jnp.concatenate([pts, t], -1), 9_999_999, cfg)[0]
 
     return extract_mesh_from_sdf_fn(sdf_fn, nr_points_per_dim, -0.5, 0.5)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sdf_eval_4d(cfg: SDFConfig):
+    def eval_fn(ctx, pts4):
+        return sdf_apply(ctx, pts4, 9_999_999, cfg)[0].reshape(-1)
+
+    return eval_fn
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket", "time_val"))
+def _shade_normals_4d(params, pos, lit, cfg: SDFConfig, bucket: int, time_val):
+    """Spatial normals at the lit rays of a time slice (compacted)."""
+    R = pos.shape[0]
+    (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
+    pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], 0)
+    sub = pos_p[idx]
+    sub4 = jnp.concatenate(
+        [sub, jnp.full((sub.shape[0], 1), time_val, sub.dtype)], -1)
+    _, g4, _ = sdf_with_gradient(params, sub4, 9_999_999, cfg)
+    n = g4[:, :3]
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    valid = (idx < R)[:, None].astype(n.dtype)
+    out = jnp.zeros((R + 1, 3), n.dtype).at[idx].set(n * valid)[:R]
+    return out * lit[:, None]
+
+
+def render_time_sweep(params, cfg: SDFConfig, out_dir: str, nr_times: int = 10,
+                      width: int = 512, height: int = 512,
+                      cam_pos=(0.9, 0.6, -0.9), nr_rounds: int = 5,
+                      iters_per_round: int = 4,
+                      sdf_converged_tresh: float = 1e-3):
+    """Sphere-traced, normal-shaded time sweep of the 4D SDF — the offline
+    form of ``vis_4d_sdf``'s interactive ``m_time_val`` sweep (reference
+    ``train_4d_sdf.py:268``, ``experiments/visualization/vis_4d_sdf.py``).
+    Writes ``time_###.png`` frames to ``out_dir``."""
+    import imageio.v2 as imageio
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_adaptive, pow2_bucket
+    from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame, look_at_cam_to_world
+
+    os.makedirs(out_dir, exist_ok=True)
+    bound = AABB((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5))
+    f = 1.2 * max(width, height)
+    K = jnp.asarray([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
+    tf = jnp.asarray(look_at_cam_to_world(cam_pos))
+    origins, dirs = rays_from_frame(K, tf, width, height)
+    eval4 = _make_sdf_eval_4d(cfg)
+
+    light = np.asarray([0.5, 0.7, -0.5])
+    light = light / np.linalg.norm(light)
+    for i in range(nr_times):
+        t = i / max(nr_times - 1, 1)
+        pos, sdf, conv, alive, n_hit = sphere_trace_adaptive(
+            eval4, params, origins, dirs, bound, nr_rounds, iters_per_round,
+            sdf_converged_tresh=sdf_converged_tresh, time_val=t,
+            return_n_hit=True,
+        )
+        lit = conv & alive
+        bucket = pow2_bucket(max(n_hit, 1), lo=256, hi=max(256, width * height))
+        normals = _shade_normals_4d(params, pos, lit, cfg, bucket, t)
+        normals = np.asarray(normals).reshape(height, width, 3)
+        lam = np.clip(normals @ light, 0.0, 1.0)[..., None]
+        img = (0.15 + 0.85 * lam) * (normals * 0.5 + 0.5)
+        img = img * np.asarray(lit).reshape(height, width, 1)
+        imageio.imwrite(os.path.join(out_dir, f"time_{i:03d}.png"),
+                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    print(f"wrote {nr_times} sphere-traced time-sweep frames -> {out_dir}")
 
 
 def main():

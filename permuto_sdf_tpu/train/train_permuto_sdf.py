@@ -773,18 +773,22 @@ def render_image_sphere_traced_fast(
         lod_levels: int | None = 12, nr_rounds: int = 5,
         iters_per_round: int = 3, nr_refine_iters: int = 4,
         sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
-        mip_factor: int = 4):
+        dist_field=None):
     """The interactive rendering fast path (reference: "render at
     interactive speeds" via sphere tracing, README.md:19 +
     run_net_sphere_traced, train_permuto_sdf.py:211-242).
 
-    Host-adaptive compaction everywhere: mip-seeded trace buckets sized
-    from measured active counts (ops/sphere_trace.sphere_trace_adaptive),
-    LOD march on the coarsest ``lod_levels`` encoding levels with full-res
-    refinement of the hits, and a shading bucket sized from the true lit
-    count (no silent black holes — every lit ray is shaded)."""
+    Host-adaptive compaction everywhere: trace buckets sized from measured
+    active counts (ops/sphere_trace.sphere_trace_adaptive) with
+    distance-field empty-space skipping (the field is computed once per
+    call — pass ``dist_field`` to amortize it across frames of the same
+    checkpoint), LOD march on the coarsest ``lod_levels`` encoding levels
+    with full-res refinement of the hits, and a shading bucket sized from
+    the true lit count (no silent black holes — every lit ray is shaded)."""
     from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
-    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_adaptive, pow2_bucket
+    from permuto_sdf_tpu.ops.sphere_trace import (
+        sphere_trace_adaptive, pow2_bucket, _grid_distance_field,
+    )
 
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]
@@ -803,18 +807,22 @@ def render_image_sphere_traced_fast(
         march_eval, refine_eval, refine_ctx = full_eval, None, None
 
     grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
+    if grid_cfg is not None and dist_field is None:
+        dist_field = _grid_distance_field(grid_cfg, grid)
     rgbs, normals, alphas = [], [], []
     for i in range(0, n + pad, chunk):
         o, d = origins[i : i + chunk], dirs[i : i + chunk]
-        pos, sdf, conv, alive = sphere_trace_adaptive(
+        pos, sdf, conv, alive, n_hit = sphere_trace_adaptive(
             march_eval, ctx, o, d, BOUND, nr_rounds, iters_per_round,
             sdf_multiplier, sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
             refine_sdf_eval=refine_eval, refine_ctx=refine_ctx,
-            nr_refine_iters=nr_refine_iters, mip_factor=mip_factor,
+            nr_refine_iters=nr_refine_iters, dist_field=dist_field,
+            return_n_hit=True,
         )
         lit = _lit_and_state(pos, conv, alive, grid, grid_cfg, cfg)
-        n_lit = int(jnp.sum(lit))
-        bucket = pow2_bucket(n_lit, lo=256, hi=max(256, chunk))
+        # n_hit >= n_lit (lit additionally requires in-bounds+occupied), so
+        # it sizes the shading bucket without another device round-trip
+        bucket = pow2_bucket(max(n_hit, 1), lo=256, hi=max(256, chunk))
         rgb, nrm, w = _shade_hits(params, pos, d, lit, it, cfg, bucket)
         rgb, nrm, w = _dequantize_frame(*_quantize_frame(rgb, nrm, w))
         rgbs.append(rgb)

@@ -197,3 +197,41 @@ def test_render_sample_budget_compaction_equivalence(tiny_reel):
     assert int(out_small[4].mask.sum()) <= 64
     for o in (out_small[0], out_small[1]):
         assert np.isfinite(np.asarray(o)).all()
+
+
+def test_hidden_vertex_culling_removes_enclosed_geometry():
+    """A small sphere fully inside a big one must be culled; the outer
+    shell must survive (reference's embree-AO cull of interior anatomy,
+    train_4d_sdf.py:78-86)."""
+    from permuto_sdf_tpu.train.train_4d_sdf import hidden_vertex_mask
+    from permuto_sdf_tpu.datasets.mesh_io import make_uv_sphere
+
+    outer = make_uv_sphere(radius=0.4, n_lat=24, n_lon=32)
+    inner = make_uv_sphere(radius=0.1, n_lat=12, n_lon=16)
+    V = np.concatenate([outer.V, inner.V])
+    F = np.concatenate([outer.F, inner.F + len(outer.V)])
+    hidden = hidden_vertex_mask(V, F, res=96)
+    assert not hidden[: len(outer.V)].any(), "outer shell wrongly culled"
+    assert hidden[len(outer.V):].all(), "enclosed inner sphere not culled"
+
+
+def test_render_time_sweep_smoke(tmp_path):
+    from permuto_sdf_tpu.train import train_4d_sdf as t
+
+    pts, nrm = t.procedural_sequence_points(nr_frames=3, points_per_frame=2000)
+    cfg = SDFConfig(in_channels=4, geom_feat_size_out=0, nr_iters_for_c2f=50,
+                    capacity=2 ** 10, nr_levels=4)
+    params, cfg, hist = t.train(pts, nrm, nr_iters=150, cfg=cfg,
+                                nr_surface=256, nr_offsurface=256,
+                                log_every=50)
+    import os
+    out = str(tmp_path / "sweep")
+    t.render_time_sweep(params, cfg, out, nr_times=2, width=48, height=48,
+                        nr_rounds=3, iters_per_round=3,
+                        sdf_converged_tresh=5e-3)
+    import imageio.v2 as imageio
+
+    files = sorted(os.listdir(out))
+    assert len(files) == 2
+    img = imageio.imread(os.path.join(out, files[0]))
+    assert img.shape == (48, 48, 3)
