@@ -268,7 +268,12 @@ def _with_time(p, time_val):
     return jnp.concatenate([p, t], axis=-1)
 
 
-_EMPTY_DIST_CAP = 15  # chebyshev_empty_distance cap (voxels)
+# chebyshev_empty_distance cap: also the max empty-space jump per step, in
+# voxels. 63 lets a miss ray cross the whole 256^3 grid in ~4 steps instead
+# of ~18 at cap 15 — the first trace round processes EVERY bound-hitting
+# ray, so fast miss-exit dominates its cost. Field build is 63 min-pool
+# sweeps, once per grid state.
+_EMPTY_DIST_CAP = 63
 
 
 @functools.partial(jax.jit, static_argnames=("grid_cfg",))
@@ -362,6 +367,8 @@ def sphere_trace_adaptive(
     min_bucket: int = 256,
     dist_field=None,             # precomputed _grid_distance_field(grid_cfg, grid)
     return_n_hit: bool = False,
+    round_sdf_evals: tuple = (),  # optional per-round eval override (LOD schedule)
+    final_refresh: bool = True,
 ):
     """Sphere tracing with HOST-adaptive static-shape compaction.
 
@@ -407,12 +414,13 @@ def sphere_trace_adaptive(
 
     n_active = int(jnp.sum(alive_f[:R]))
     n_hit = 0
-    for _ in range(nr_rounds):
+    for rnd in range(nr_rounds):
         if n_active == 0:
             break
+        ev = round_sdf_evals[rnd] if rnd < len(round_sdf_evals) else sdf_eval
         bucket = pow2_bucket(n_active, lo=min_bucket, hi=max(min_bucket, R))
         t_f, alive_f, conv_f, sdf_f, counts = _trace_rounds(
-            sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
+            ev, ctx, origins_f, dirs_f, texit_f, dist_field,
             t_f, alive_f, conv_f, sdf_f, grid_cfg, iters_per_round, bucket,
             sdf_multiplier, sdf_converged_tresh, time_val,
         )
@@ -439,7 +447,9 @@ def sphere_trace_adaptive(
 
     pos_f = origins_f + t_f[:, None] * dirs_f
     hit_f = conv_f & alive_f
-    if n_hit > 0:
+    # final_refresh=False skips the last-position sdf re-evaluation — callers
+    # that shade the hits immediately afterwards recompute the sdf anyway
+    if final_refresh and n_hit > 0:
         bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
         sdf_f = _refresh_sdf(final_eval, final_ctx, pos_f, hit_f, sdf_f,
                              bucket, time_val)

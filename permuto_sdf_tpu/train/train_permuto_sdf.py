@@ -120,6 +120,15 @@ class PermutoSDFTrainConfig:
     grid_update_every: int = 8
     grid_nr_random_samples: int = 256 * 256 * 4
     grid_occupancy_thresh: float = 1e-4
+    # SDF proxy level count for occupancy updates. The occupancy test
+    # thresholds the NeuS logistic density of max(|sdf| - 1.3*half_diag, 0):
+    # at 256^3 the half-diagonal is 3.4e-3 while levels >= 17 have scales
+    # < 1.1e-3 (geomspace 1 -> 1e-4 over 24) — strictly sub-voxel detail
+    # that cannot flip a voxel's band test. Evaluating 17/24 levels cuts
+    # the update's gather cost ~30% (the zero-fill concat that previously
+    # made proxies unprofitable is gone — sdf_apply slices the first MLP
+    # layer instead). None = all levels.
+    grid_update_max_levels: int | None = 17
     # encoding sizes (shrink for smoke tests)
     capacity: int = 2 ** 18
     nr_levels: int = 24
@@ -415,14 +424,17 @@ def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
                      cfg: PermutoSDFTrainConfig):
     """SDF-based occupancy refresh (train_permuto_sdf.py:386-392).
 
-    Uses the coarse-level SDF proxy (``imp_sampling_max_levels``): at 256^3
+    Uses the coarse-level SDF proxy (``grid_update_max_levels``): at 256^3
     the voxel size is far coarser than the finest encoding levels, so the
     occupancy band test never depends on them."""
     centers, lin = og.compute_random_sample_of_grid_points(
         cfg.grid, key, cfg.grid_nr_random_samples, jitter=True
     )
+    max_levels = cfg.grid_update_max_levels
+    if max_levels is None:
+        max_levels = cfg.imp_sampling_max_levels
     sdf, _ = sdf_apply(params["sdf"], centers, iter_nr_anneal, cfg.sdf_model,
-                       max_levels=cfg.imp_sampling_max_levels)
+                       max_levels=max_levels)
     return og.update_with_sdf_random_sample(
         cfg.grid, grid, lin, sdf, inv_s, cfg.grid_occupancy_thresh
     )
@@ -747,6 +759,9 @@ def _shade_hits(params, pos, dirs, lit, iter_nr_anneal, cfg: PermutoSDFTrainConf
     return rgb * weights, normals * weights, weights
 
 
+_DIST_FIELD_CACHE: dict = {}
+
+
 @jax.jit
 def _quantize_frame(rgb, normals, weights):
     """Device-side uint8 packing of a frame before the device->host copy.
@@ -765,6 +780,29 @@ def _dequantize_frame(rgb_q, normals_q, weights_q):
     normals = np.asarray(normals_q, np.float32) / 255.0 * 2.0 - 1.0
     weights = np.asarray(weights_q, np.float32) / 255.0
     return rgb, normals, weights
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _shade_hits_compact(params, pos, dirs, lit, iter_nr_anneal,
+                        cfg: PermutoSDFTrainConfig, bucket: int):
+    """Like :func:`_shade_hits` but returns the COMPACTED uint8 results +
+    hit indices instead of scattered full-frame float buffers: through the
+    remote-TPU transport, fetching ~n_hit*10 bytes beats fetching the full
+    float frame by >10x (see _quantize_frame's note)."""
+    R = pos.shape[0]
+    (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
+    sub_pos = _pad_one(pos)[idx]
+    sub_dirs = _pad_one(dirs)[idx]
+    _, grads_end, geom_end = sdf_with_gradient(
+        params["sdf"], sub_pos, iter_nr_anneal, cfg.sdf_model
+    )
+    sub_rgb = rgb_apply(params["rgb"], sub_pos, sub_dirs, grads_end, geom_end,
+                        iter_nr_anneal, cfg.rgb_model)
+    sub_normals = grads_end / (
+        jnp.linalg.norm(grads_end, axis=-1, keepdims=True) + 1e-12
+    )
+    q = lambda x: jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return idx.astype(jnp.int32), q(sub_rgb), q(sub_normals * 0.5 + 0.5), lit
 
 
 def render_image_sphere_traced_fast(
@@ -800,15 +838,27 @@ def render_image_sphere_traced_fast(
     it = jnp.asarray(iter_nr_anneal)
     ctx = (params["sdf"], it)
     full_eval = _make_sdf_eval(cfg.sdf_model, None)
+    round_evals = ()
     if lod_levels is not None and lod_levels < cfg.nr_levels:
         march_eval = _make_sdf_eval(cfg.sdf_model, lod_levels)
         refine_eval, refine_ctx = full_eval, ctx
+        # round 0 runs at an even coarser LOD: it is the only round that
+        # processes EVERY bound-hitting ray (misses die in it via the
+        # distance-field jumps), so its per-point cost matters most
+        round_evals = (_make_sdf_eval(cfg.sdf_model, max(4, lod_levels // 2)),)
     else:
         march_eval, refine_eval, refine_ctx = full_eval, None, None
 
     grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
     if grid_cfg is not None and dist_field is None:
-        dist_field = _grid_distance_field(grid_cfg, grid)
+        # one distance field per grid STATE — cache on the occupancy
+        # buffer's identity so repeated frames of the same checkpoint
+        # (orbits, interactive viewing) skip the 63 min-pool sweeps
+        key = (id(grid.occupancy), grid_cfg)
+        if _DIST_FIELD_CACHE.get("key") != key:
+            _DIST_FIELD_CACHE["key"] = key
+            _DIST_FIELD_CACHE["field"] = _grid_distance_field(grid_cfg, grid)
+        dist_field = _DIST_FIELD_CACHE["field"]
     rgbs, normals, alphas = [], [], []
     for i in range(0, n + pad, chunk):
         o, d = origins[i : i + chunk], dirs[i : i + chunk]
@@ -817,16 +867,26 @@ def render_image_sphere_traced_fast(
             sdf_multiplier, sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
             refine_sdf_eval=refine_eval, refine_ctx=refine_ctx,
             nr_refine_iters=nr_refine_iters, dist_field=dist_field,
-            return_n_hit=True,
+            return_n_hit=True, round_sdf_evals=round_evals,
+            final_refresh=False,  # the shading pass re-evaluates the hits
         )
         lit = _lit_and_state(pos, conv, alive, grid, grid_cfg, cfg)
         # n_hit >= n_lit (lit additionally requires in-bounds+occupied), so
         # it sizes the shading bucket without another device round-trip
         bucket = pow2_bucket(max(n_hit, 1), lo=256, hi=max(256, chunk))
-        rgb, nrm, w = _shade_hits(params, pos, d, lit, it, cfg, bucket)
-        rgb, nrm, w = _dequantize_frame(*_quantize_frame(rgb, nrm, w))
-        rgbs.append(rgb)
-        normals.append(nrm)
+        idx, rgb_u8, nrm_u8, lit = _shade_hits_compact(
+            params, pos, d, lit, it, cfg, bucket)
+        # host-side frame reconstruction from the compacted transfer
+        R = o.shape[0]
+        idx_np = np.asarray(idx)
+        valid = idx_np < R
+        w = np.asarray(lit, np.float32)[:, None]
+        rgb = np.zeros((R, 3), np.float32)
+        nrm = np.zeros((R, 3), np.float32)
+        rgb[idx_np[valid]] = np.asarray(rgb_u8)[valid] / 255.0
+        nrm[idx_np[valid]] = np.asarray(nrm_u8)[valid] / 255.0 * 2.0 - 1.0
+        rgbs.append(rgb * w)
+        normals.append(nrm * w)
         alphas.append(w)
     rgb = np.concatenate(rgbs)[:n].reshape(height, width, 3)
     nrm = np.concatenate(normals)[:n].reshape(height, width, 3)
@@ -1056,7 +1116,12 @@ def load_from_checkpoint(ckpt_path_full: str, cfg: PermutoSDFTrainConfig):
 
 def main():
     parser = argparse.ArgumentParser(description="Train PermutoSDF")
-    parser.add_argument("--dataset", default="synthetic", help="synthetic | dtu")
+    parser.add_argument("--dataset", default="synthetic",
+                        help="synthetic | dtu | bmvs | multiface | custom | "
+                             "phenorobcp1 (datasets/factory.py)")
+    parser.add_argument("--scene", default=None,
+                        help="scene name under --scene_dir (or multiface "
+                             "subject preset id)")
     parser.add_argument("--scene_dir", default=None)
     parser.add_argument("--nr_iters", type=int, default=None)
     parser.add_argument("--low_res", action="store_true")
@@ -1079,10 +1144,11 @@ def main():
             height=64 if args.smoke else 200,
         )
     else:
-        from permuto_sdf_tpu.datasets.dtu import load_dtu_scene
+        from permuto_sdf_tpu.datasets.factory import create_reel
 
-        reel = load_dtu_scene(args.scene_dir, low_res=args.low_res,
-                              with_mask=args.with_mask)
+        reel = create_reel(args.dataset, scene=args.scene,
+                           data_root=args.scene_dir, low_res=args.low_res,
+                           with_mask=args.with_mask)
 
     if args.smoke:
         cfg = PermutoSDFTrainConfig(

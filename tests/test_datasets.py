@@ -103,3 +103,65 @@ def test_rays_from_frame_row_major_and_consistent_with_reel_sampler():
     center = np.asarray(d[(h // 2) * w + w // 2])
     fwd = np.asarray(reel.tf_world_cam[0][:3, 2])
     assert float(center @ fwd) > 0.9
+
+
+def test_multiface_loader_parses_krt_and_builds_reel(tmp_path):
+    """Synthetic multiface layout: KRT with 3 cameras + per-camera images;
+    the loader must split train/test by the preset's test cameras and map
+    world->cam extrinsics into scene-scaled cam-to-world poses."""
+    import os
+    import numpy as np
+    import imageio.v2 as imageio
+    from permuto_sdf_tpu.datasets.multiface import (
+        load_multiface_scene, MultifaceSubject, parse_krt,
+    )
+
+    subj = MultifaceSubject(
+        subject_name="m--test--0--1--GHS", sequence="E001_Test",
+        test_cameras=(400002,), timestep=0,
+        scene_rotate_x_angle=0.0, scene_translation=(0.0, 0.0, 0.0),
+        scene_scale_multiplier=0.001,
+    )
+    root = tmp_path / "mf"
+    sdir = root / subj.subject_name
+    cams = ["400002", "400013", "400060"]
+    lines = []
+    rng = np.random.default_rng(0)
+    for i, cam in enumerate(cams):
+        K = np.asarray([[1000.0, 0, 32], [0, 1000.0, 32], [0, 0, 1]])
+        Rt = np.concatenate([np.eye(3), np.asarray([[0.0], [0.0], [1000.0 * (i + 1)]])], 1)
+        lines.append(cam)
+        lines += [" ".join(str(v) for v in row) for row in K]
+        lines.append("0 0 0 0 0")
+        lines += [" ".join(str(v) for v in row) for row in Rt]
+        lines.append("")
+        d = sdir / "images" / subj.sequence / cam
+        os.makedirs(d)
+        imageio.imwrite(str(d / "000000.png"),
+                        (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8))
+    os.makedirs(sdir, exist_ok=True)
+    (sdir / "KRT").write_text("\n".join(lines))
+
+    krt = parse_krt(str(sdir / "KRT"))
+    assert set(krt) == set(cams)
+
+    reel_train = load_multiface_scene(str(root), subj, mode="train")
+    reel_test = load_multiface_scene(str(root), subj, mode="test")
+    assert reel_train.nr_images == 2 and reel_test.nr_images == 1
+    assert reel_train.rgb.shape == (2, 64, 64, 3)
+    # identity R, t=(0,0,1000mm) world->cam => camera center (0,0,-1000mm)
+    # => scaled cam-to-world translation (0,0,-1.0)
+    tf = np.asarray(reel_test.tf_world_cam[0])
+    np.testing.assert_allclose(tf[:3, 3], [0, 0, -1.0], atol=1e-6)
+    np.testing.assert_allclose(tf[:3, :3], np.eye(3), atol=1e-6)
+
+
+def test_dataset_factory_dispatch():
+    from permuto_sdf_tpu.datasets.factory import create_reel
+
+    reel = create_reel("synthetic", low_res=True)
+    assert reel.nr_images == 24
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_reel("nope")
