@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Six-tetrahedra decomposition of the unit cube around the 0-7 diagonal.
@@ -222,6 +223,21 @@ def extract_mesh_from_sdf_fn(
     """
     axis = np.linspace(min_val, max_val, nr_points_per_dim, dtype=np.float32)
     full = np.zeros((nr_points_per_dim,) * 3, dtype=np.float32)
+
+    # Device->host transfer runs at ~2 MB/s for float32 through this
+    # environment's remote-TPU transport (PERFORMANCE.md finding 11) — a
+    # 512^3 float grid would take minutes just to fetch. Quantize each
+    # block to int16 on device: values are clipped to +-clip_r (sign — the
+    # only thing that matters away from the isosurface — survives; the
+    # near-zero values that place vertices keep ~3e-6 resolution).
+    clip_r = 0.25 * (max_val - min_val)
+    q_scale = 32766.0 / clip_r
+
+    @jax.jit
+    def q_sdf(pts):
+        s = sdf_fn(pts).reshape(-1)
+        return jnp.round(jnp.clip(s, -clip_r, clip_r) * q_scale).astype(jnp.int16)
+
     for xi in range(0, nr_points_per_dim, block):
         xs = axis[xi : xi + block]
         for yi in range(0, nr_points_per_dim, block):
@@ -230,9 +246,8 @@ def extract_mesh_from_sdf_fn(
                 zs = axis[zi : zi + block]
                 xx, yy, zz = np.meshgrid(xs, ys, zs, indexing="ij")
                 pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
-                sdf = np.asarray(sdf_fn(jnp.asarray(pts))).reshape(
-                    len(xs), len(ys), len(zs)
-                )
+                sdf = np.asarray(q_sdf(jnp.asarray(pts))).astype(np.float32)
+                sdf = sdf.reshape(len(xs), len(ys), len(zs)) / q_scale
                 full[xi : xi + len(xs), yi : yi + len(ys), zi : zi + len(zs)] = sdf
 
     spacing = (max_val - min_val) / (nr_points_per_dim - 1.0)

@@ -120,6 +120,18 @@ class PermutoSDFTrainConfig:
     grid_update_every: int = 8
     grid_nr_random_samples: int = 256 * 256 * 4
     grid_occupancy_thresh: float = 1e-4
+    # Curvature-loss sample budget (None = all valid render samples, the
+    # reference's behavior). The curvature term needs a SECOND
+    # sdf_with_gradient evaluation at tangent-shifted points — at the
+    # flagship scale it is the single most expensive loss term (~126 ms of
+    # a 493 ms step, PERFORMANCE.md finding 9) while being a pure
+    # regularizer: a stochastic subsample gives an unbiased estimate of
+    # the same mean-curvature penalty with proportionally less gather
+    # traffic. The subset is the compaction-order prefix — rays are drawn
+    # uniformly at random every step, so the prefix is a random ray
+    # subset. Reference behavior at curvature_sample_budget=None
+    # (train_permuto_sdf.py:352-366 evaluates all samples).
+    curvature_sample_budget: int | None = 16384
     # SDF proxy level count for occupancy updates. The occupancy test
     # thresholds the NeuS logistic density of max(|sdf| - 1.3*half_diag, 0):
     # at 256^3 the half-diagonal is 3.4e-3 while levels >= 17 have scales
@@ -495,11 +507,22 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
         # most expensive loss term
         loss_curv = jnp.zeros(())
         if cfg.enable_curvature:
+            pos_cv, grads_cv, valid_cv = compact["pos"], grads_c, valid_c
+            cb = cfg.curvature_sample_budget
+            if cb is not None and cb < pos_cv.shape[0]:
+                # prefix of the compacted batch = a random subset of rays
+                # (see curvature_sample_budget docstring)
+                pos_cv = pos_cv[:cb]
+                grads_cv = grads_cv[:cb]
+                valid_cv = valid_cv[:cb]
             _, curvature = sdf_curvature_from_gradient(
-                p["sdf"], k_curv, compact["pos"], grads_c,
+                p["sdf"], k_curv, pos_cv, grads_cv,
                 iter_nr_anneal, cfg.sdf_model,
             )
-            loss_curv = jnp.sum(jnp.where(valid_c[:, None], curvature, 0.0)) / nvalid
+            nvalid_cv = jnp.maximum(jnp.sum(valid_cv), 1.0)
+            loss_curv = (
+                jnp.sum(jnp.where(valid_cv[:, None], curvature, 0.0)) / nvalid_cv
+            )
             loss = loss + loss_curv * cfg.curvature_weight * global_weight_curvature
 
         # offsurface high-sdf loss (only with occupancy grid)
