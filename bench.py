@@ -48,13 +48,25 @@ def main():
     from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
 
     sphere_iters = 100 if quick else 300
-    warmup_iters = 60 if quick else 400
+    warmup_iters = 60 if quick else 1100
     measure_iters = 20 if quick else 100
 
+    # ``forced_variance_finish_iter`` is compressed (35000 -> 600) so the
+    # warmup actually REACHES the steady-state operating point both
+    # frameworks quote numbers at: with inv_s annealed (~e^8), the SDF
+    # occupancy band is ~2 voxels thin, the grid is sparse (~1-2%
+    # occupied), and the dynamic ray rebalancer grows the ray bucket to
+    # hold the fixed ~49k VALID-sample budget. The reference's ~62 ms
+    # figure is likewise a mid-training measurement on a sparsified scene
+    # (train_permuto_sdf.py:429 comment). At the un-annealed early state
+    # (inv_s ~ 20 => occupancy band +-0.58 => dense grid) the bucket pins
+    # at 512 rays and rays/s understates steady-state throughput ~3x;
+    # --quick reports that dense-grid lower bound.
     cfg = tps.PermutoSDFTrainConfig(  # full reference scale
         nr_iter_sphere_fit=sphere_iters,
         sphere_init_points=30000,
         warmup_iters=100,
+        forced_variance_finish_iter=60 if quick else 600,
     )
     reel = make_synthetic_reel(nr_views=4, width=100, height=100)
     target_nr_samples = cfg.nr_rays * (
@@ -126,6 +138,7 @@ def main():
             "ms_per_iter_incl_grid_updates": round(elapsed / measure_iters * 1e3, 1),
             "settled_nr_rays": cfg.nr_rays,
             "mean_valid_samples_per_iter": round(valid_samples / measure_iters),
+            "grid_occupancy_frac": round(float(jnp.mean(grid.occupancy)), 4),
             "warmup_s": round(warm_s, 1),
         },
     }))

@@ -407,3 +407,15 @@ def test_packed_bf16_jit_composes():
     out = f(params, pts)
     assert out.shape == (128, spec_p.output_dims)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_shift_per_level_is_frozen():
+    """The per-level random shifts are fixed buffers in the reference
+    (decorrelation noise, never trained); gradients must not flow to them."""
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=2 ** 10, nr_levels=4)
+    params = init_encoding_params(jax.random.PRNGKey(0), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3)) - 0.5
+
+    g = jax.grad(lambda p: permuto_encode(p, pts, spec).sum())(params)
+    assert np.all(np.asarray(g["shift_per_level"]) == 0.0)
+    assert np.any(np.asarray(g["lattice_values"]) != 0.0)
