@@ -235,3 +235,27 @@ def test_render_time_sweep_smoke(tmp_path):
     assert len(files) == 2
     img = imageio.imread(os.path.join(out, files[0]))
     assert img.shape == (48, 48, 3)
+
+
+def test_overview_figure_composer(tmp_path):
+    """experiments/figures.py renders a views x modes grid from a tiny
+    model (reference: experiments/figures/create_overview_image.py)."""
+    import jax
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    from permuto_sdf_tpu.experiments.figures import render_overview
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32,
+        grid_nr_voxels_per_dim=16, grid_nr_random_samples=512,
+        max_nr_samples_per_ray=8, nr_samples_imp_sampling=4,
+        nr_samples_bg=4, render_sample_budget=None,
+    )
+    params = t.init_params(jax.random.PRNGKey(0), cfg, nr_cams=2)
+    grid = og.make_occupancy_grid(cfg.grid)
+    fig, layout = render_overview(params, grid, cfg, nr_views=2,
+                                  width=24, height=16, gutter=2,
+                                  modes=("rgb", "normals"))
+    assert fig.shape == (16 * 2 + 2, 24 * 2 + 2, 3)
+    assert np.isfinite(fig).all() and fig.min() >= 0.0 and fig.max() <= 1.0
+    assert layout["cols"] == ["rgb", "normals"]
