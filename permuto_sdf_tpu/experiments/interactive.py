@@ -1,0 +1,197 @@
+"""Interactive checkpoint viewer (terminal REPL).
+
+Headless equivalent of the reference's interactive viewer flow
+(``/root/reference/permuto_sdf_py/experiments/visualization/render_from_frame.py``:
+an EasyPBR window with a controllable camera, NGPGui toggles between the
+sphere-traced fast path and the chunked volumetric path, rgb + normal
+views). Without a GL stack, the same capability is a read-eval-render
+loop: commands move an orbit camera, switch render modes, and every frame
+is written to ``--live`` (default ``live.png``) plus previewed inline in
+the terminal with ANSI true-color half-blocks — usable over plain SSH.
+
+The sphere-traced mode reuses the grid-resident Chebyshev distance field
+across frames (the ``dist_field`` cache of
+``render_image_sphere_traced_fast``), which is what makes camera motion
+interactive: only the trace itself runs per frame.
+
+Commands (also printed at startup):
+  a / d           orbit left / right (15 deg)
+  w / s           camera up / down
+  + / -           zoom in / out
+  mode <m>        m in {sphere, volumetric}
+  normals on|off  also preview the normal map
+  time <t>        4D time value (``NGPGui.m_time_val`` equivalent)
+  res <w> <h>     render resolution
+  save <path>     write the last frame as PNG
+  q               quit
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def ansi_preview(img: np.ndarray, cols: int = 72) -> str:
+    """True-color half-block preview of ``img`` [H, W, 3] float in [0,1]."""
+    h, w = img.shape[:2]
+    rows = max(2, int(cols * h / w * 0.5) * 2)  # 2 pixels per char row
+    ys = (np.linspace(0, h - 1, rows)).astype(int)
+    xs = (np.linspace(0, w - 1, cols)).astype(int)
+    small = (np.clip(img[ys][:, xs], 0, 1) * 255).astype(int)
+    lines = []
+    for r in range(0, rows - 1, 2):
+        top, bot = small[r], small[r + 1]
+        line = []
+        for c in range(cols):
+            tr, tg, tb = top[c]
+            br, bg_, bb = bot[c]
+            line.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg_};{bb}m▀")
+        lines.append("".join(line) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+class ViewerState:
+    def __init__(self, width=400, height=400, radius=1.3, height_cam=0.45):
+        self.width, self.height = width, height
+        self.radius, self.cam_height, self.angle = radius, height_cam, 0.0
+        self.mode = "sphere"
+        self.show_normals = False
+        self.time_val = 0.0
+
+    def camera(self):
+        from permuto_sdf_tpu.experiments.visualization import _orbit_cam
+
+        f = 0.5 * self.width / np.tan(np.radians(35.0) / 2)
+        K = np.array([[f, 0, self.width / 2], [0, f, self.height / 2],
+                      [0, 0, 1]], np.float32)
+        return K, _orbit_cam(self.radius, self.cam_height, self.angle)
+
+
+def handle_command(state: ViewerState, cmd: str) -> bool:
+    """Mutates ``state``; returns False when the session should end."""
+    parts = cmd.strip().split()
+    if not parts:
+        return True
+    op = parts[0]
+    step = np.radians(15.0)
+    if op == "q":
+        return False
+    elif op == "a":
+        state.angle -= step
+    elif op == "d":
+        state.angle += step
+    elif op == "w":
+        state.cam_height += 0.15
+    elif op == "s":
+        state.cam_height -= 0.15
+    elif op == "+":
+        state.radius = max(0.2, state.radius * 0.85)
+    elif op == "-":
+        state.radius = state.radius / 0.85
+    elif op == "mode" and len(parts) > 1 and parts[1] in ("sphere", "volumetric"):
+        state.mode = parts[1]
+    elif op == "normals" and len(parts) > 1:
+        state.show_normals = parts[1] == "on"
+    elif op == "time" and len(parts) > 1:
+        state.time_val = float(parts[1])
+    elif op == "res" and len(parts) > 2:
+        state.width, state.height = int(parts[1]), int(parts[2])
+    elif op == "save":
+        return True  # caller handles (needs the frame)
+    else:
+        print(f"? unknown command: {cmd.strip()}")
+    return True
+
+
+def render_frame(params, grid, cfg, state: ViewerState):
+    """Returns (rgb, normals). The sphere-traced path's Chebyshev distance
+    field is cached per grid state inside the renderer, so repeated frames
+    of the same checkpoint skip its construction (interactive rates)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+
+    K, tf = state.camera()
+    if state.mode == "sphere":
+        rgb, nrm, _ = tps.render_image_sphere_traced_fast(
+            params, grid, K, tf, state.width, state.height, 9_999_999, cfg,
+        )
+    else:
+        rgb, nrm, _ = tps.render_image(
+            params, grid, K, tf, state.width, state.height, 9_999_999, cfg,
+        )
+    return rgb, nrm
+
+
+def run_viewer(params, grid, cfg, state: ViewerState, commands, live_path,
+               preview_cols: int = 72, echo=print):
+    """Drive the viewer over an iterable of command strings (stdin in the
+    CLI; a list in tests). Renders after every state-changing command."""
+    import imageio.v2 as imageio
+    import time
+
+    rgb = nrm = None
+
+    def draw():
+        nonlocal rgb, nrm
+        t0 = time.perf_counter()
+        rgb, nrm = render_frame(params, grid, cfg, state)
+        dt = time.perf_counter() - t0
+        if live_path:
+            imageio.imwrite(live_path, (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        if preview_cols:
+            echo(ansi_preview(rgb, preview_cols))
+            if state.show_normals and nrm is not None:
+                echo(ansi_preview(np.clip(nrm * 0.5 + 0.5, 0, 1), preview_cols))
+        echo(f"[{state.mode} {state.width}x{state.height} "
+             f"angle={np.degrees(state.angle):.0f}deg r={state.radius:.2f} "
+             f"{dt:.2f}s]  (a/d/w/s/+/- move, mode/res/save, q quits)")
+
+    draw()
+    for cmd in commands:
+        parts = cmd.strip().split()
+        if parts and parts[0] == "save" and rgb is not None:
+            path = parts[1] if len(parts) > 1 else "frame.png"
+            imageio.imwrite(path, (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            echo(f"saved {path}")
+            continue
+        if not handle_command(state, cmd):
+            break
+        if parts:
+            draw()
+    return state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Interactive checkpoint viewer")
+    parser.add_argument("--ckpt", required=True,
+                        help="<ckpt>/<exp>/<iter>/models directory")
+    parser.add_argument("--width", type=int, default=400)
+    parser.add_argument("--height", type=int, default=400)
+    parser.add_argument("--live", default="live.png",
+                        help="frame written here after every command")
+    parser.add_argument("--preview_cols", type=int, default=72,
+                        help="terminal preview width in chars (0 disables)")
+    args = parser.parse_args(argv)
+
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+
+    cfg = tps.PermutoSDFTrainConfig()
+    params, grid = tps.load_from_checkpoint(args.ckpt, cfg)
+    state = ViewerState(width=args.width, height=args.height)
+
+    def stdin_commands():
+        while True:
+            try:
+                yield input("> ")
+            except EOFError:
+                return
+
+    run_viewer(params, grid, cfg, state, stdin_commands(), args.live,
+               args.preview_cols)
+
+
+if __name__ == "__main__":
+    main()

@@ -259,3 +259,37 @@ def test_overview_figure_composer(tmp_path):
     assert fig.shape == (16 * 2 + 2, 24 * 2 + 2, 3)
     assert np.isfinite(fig).all() and fig.min() >= 0.0 and fig.max() <= 1.0
     assert layout["cols"] == ["rgb", "normals"]
+
+
+def test_interactive_viewer_repl(tmp_path):
+    """experiments/interactive.py: command-driven viewer session on a tiny
+    model (reference: visualization/render_from_frame.py's controllable
+    camera + mode toggles)."""
+    import os
+    import jax
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    from permuto_sdf_tpu.experiments.interactive import (
+        ViewerState, run_viewer, ansi_preview)
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32,
+        grid_nr_voxels_per_dim=16, grid_nr_random_samples=512,
+        max_nr_samples_per_ray=8, nr_samples_imp_sampling=4,
+        nr_samples_bg=4, render_sample_budget=None,
+    )
+    params = t.init_params(jax.random.PRNGKey(0), cfg, nr_cams=2)
+    grid = og.make_occupancy_grid(cfg.grid)
+    state = ViewerState(width=24, height=16)
+    live = str(tmp_path / "live.png")
+    saved = str(tmp_path / "shot.png")
+    log = []
+    end = run_viewer(
+        params, grid, cfg, state,
+        ["a", "mode volumetric", "+", f"save {saved}", "q"],
+        live, preview_cols=16, echo=log.append,
+    )
+    assert os.path.exists(live) and os.path.exists(saved)
+    assert end.mode == "volumetric" and end.radius < 1.3 and end.angle < 0.0
+    # the ANSI preview contains true-color half-block sequences
+    assert any("\x1b[38;2;" in s for s in log)
