@@ -165,3 +165,34 @@ def test_dataset_factory_dispatch():
 
     with pytest.raises(ValueError):
         create_reel("nope")
+
+
+def test_crop_reel_to_sphere_preserves_rays():
+    """get_frames_cropped equivalent (permuto_sdf_utils.py:99-179): frames
+    crop to equal sizes around the projected bound sphere, and a cropped
+    pixel's ray equals the same pixel's ray in the original frame."""
+    import numpy as np
+    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+    from permuto_sdf_tpu.datasets.tensor_reel import (
+        crop_reel_to_sphere, rays_from_frame)
+
+    reel = make_synthetic_reel(nr_views=3, width=64, height=48)
+    cropped = crop_reel_to_sphere(reel, radius=0.5)
+    N, Hc, Wc = cropped.rgb.shape[:3]
+    assert N == 3 and Hc <= 48 and Wc <= 64
+    assert cropped.mask.shape[:3] == (N, Hc, Wc)
+
+    # ray consistency: pixel (u, v) of the cropped frame == pixel
+    # (u + sx, v + sy) of the original; recover (sx, sy) from the K shift
+    i = 1
+    sx = int(round(float(reel.K[i][0, 2] - cropped.K[i][0, 2])))
+    sy = int(round(float(reel.K[i][1, 2] - cropped.K[i][1, 2])))
+    o_c, d_c = rays_from_frame(cropped.K[i], cropped.tf_world_cam[i], Wc, Hc)
+    o_f, d_f = rays_from_frame(reel.K[i], reel.tf_world_cam[i], 64, 48)
+    d_c = np.asarray(d_c).reshape(Hc, Wc, 3)
+    d_f = np.asarray(d_f).reshape(48, 64, 3)
+    np.testing.assert_allclose(d_c, d_f[sy:sy + Hc, sx:sx + Wc], atol=1e-5)
+    # cropped pixels match the source image region
+    np.testing.assert_allclose(
+        np.asarray(cropped.rgb[i]),
+        np.asarray(reel.rgb[i])[sy:sy + Hc, sx:sx + Wc], atol=1e-7)
