@@ -172,3 +172,33 @@ def test_compute_samples_bg():
     np.testing.assert_allclose(np.linalg.norm(p4[..., :3], axis=-1), 1.0, atol=1e-5)
     # dt: last is 1e10
     assert np.allclose(np.asarray(samples.dt)[:, -1], 1e10)
+
+
+def test_chebyshev_empty_distance_exact():
+    """Distance field vs a brute-force L-inf distance on a tiny grid."""
+    import itertools
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = og.OccupancyGridConfig(nr_voxels_per_dim=8)
+    occ = np.zeros((8, 8, 8), bool)
+    occ[2, 3, 4] = True
+    occ[6, 6, 1] = True
+    field = np.asarray(
+        og.chebyshev_empty_distance(cfg, jnp.asarray(occ.reshape(-1)),
+                                    max_dist=5)
+    ).reshape(8, 8, 8)
+    occ_idx = np.argwhere(occ)
+    for p in itertools.product(range(8), repeat=3):
+        d = min(np.max(np.abs(np.asarray(p) - o)) for o in occ_idx)
+        assert field[p] == min(d, 5), (p, field[p], d)
+
+
+def test_empty_distance_at_out_of_grid():
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = og.OccupancyGridConfig(nr_voxels_per_dim=8)
+    occ = jnp.zeros((512,), bool).at[0].set(True)
+    field = og.chebyshev_empty_distance(cfg, occ, max_dist=5)
+    pts = jnp.asarray([[10.0, 0.0, 0.0]])  # far outside the grid extent
+    d = og.empty_distance_at(cfg, field, pts, max_dist=5)
+    assert int(d[0]) == 5
