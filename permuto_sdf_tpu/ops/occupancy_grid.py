@@ -135,6 +135,42 @@ def compute_random_sample_of_grid_points(cfg: OccupancyGridConfig, key,
     return centers, lin
 
 
+def compute_stratified_sample_of_grid_points(cfg: OccupancyGridConfig, key,
+                                             nr_points: int, update_idx,
+                                             jitter: bool = True):
+    """Voxel sample for grid updates with GUARANTEED full coverage.
+
+    The reference refreshes a random iid subset of voxels per update
+    (``OccupancyGridGPU.cuh:248-301``); with 256^3 voxels and 256^2*4
+    samples that covers only ~1-exp(-k/64) of the grid after k updates —
+    stale never-visited voxels keep their initial occupied=true for
+    thousands of iterations, so early empty-space skipping (and the
+    steady-state ray-budget balance) is limited by SAMPLING COVERAGE, not
+    by the SDF. Here update ``k`` visits voxels
+    ``lin = (a * i + b) mod V`` for ``i in [k*n, (k+1)*n)`` with ``a`` odd
+    and V a power of two — a bijection of the voxel ids, so every voxel is
+    refreshed exactly once every ``V / n`` updates (64 for the flagship
+    config) while consecutive updates still spread pseudo-randomly through
+    space. In-voxel jitter stays random. Strictly stronger freshness than
+    the reference under the identical update rule.
+    """
+    assert cfg.nr_voxels & (cfg.nr_voxels - 1) == 0, "needs power-of-2 voxels"
+    i = update_idx * nr_points + jnp.arange(nr_points, dtype=jnp.uint32)
+    # multiplicative bijection mod 2^k: odd multiplier + odd offset
+    # (Weyl-style); constants are arbitrary large odd numbers
+    lin = (i * jnp.uint32(2654435761) + jnp.uint32(340573321)) & jnp.uint32(
+        cfg.nr_voxels - 1
+    )
+    lin = lin.astype(jnp.int32)
+    centers = lin_idx_to_voxel_center(cfg, lin)
+    if jitter:
+        mov = jax.random.uniform(
+            key, (nr_points, 3), minval=-0.5, maxval=0.5
+        ) * cfg.voxel_size
+        centers = centers + mov
+    return centers, lin
+
+
 def _logistic_density(x, s):
     """NeuS logistic density (OccupancyGridGPU.cuh:382-385)."""
     return s * jnp.exp(-s * x) / (1.0 + jnp.exp(-s * x)) ** 2

@@ -100,9 +100,11 @@ def make_optimizer(cfg: NerfTrainConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def occupancy_update(params, grid, key, iter_nr, cfg: NerfTrainConfig):
-    """Density-based occupancy refresh (train_nerf.py:186-191)."""
-    centers, lin = og.compute_random_sample_of_grid_points(
-        cfg.grid, key, cfg.grid_nr_random_samples, jitter=True
+    """Density-based occupancy refresh (train_nerf.py:186-191); stratified
+    voxel cycling for guaranteed coverage (see occupancy_grid.py)."""
+    update_idx = jnp.asarray(iter_nr // cfg.grid_update_every, jnp.uint32)
+    centers, lin = og.compute_stratified_sample_of_grid_points(
+        cfg.grid, key, cfg.grid_nr_random_samples, update_idx, jitter=True
     )
     density = nerf_hash_density(params["model"], centers, iter_nr, cfg.fg_model)
     return og.update_with_density_random_sample(

@@ -438,9 +438,15 @@ def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
 
     Uses the coarse-level SDF proxy (``grid_update_max_levels``): at 256^3
     the voxel size is far coarser than the finest encoding levels, so the
-    occupancy band test never depends on them."""
-    centers, lin = og.compute_random_sample_of_grid_points(
-        cfg.grid, key, cfg.grid_nr_random_samples, jitter=True
+    occupancy band test never depends on them.
+
+    Voxel selection is STRATIFIED (bijective cycling, full grid coverage
+    every nr_voxels/nr_samples updates) rather than the reference's iid
+    random subset — see compute_stratified_sample_of_grid_points."""
+    update_idx = jnp.asarray(iter_nr_anneal // cfg.grid_update_every,
+                             jnp.uint32)
+    centers, lin = og.compute_stratified_sample_of_grid_points(
+        cfg.grid, key, cfg.grid_nr_random_samples, update_idx, jitter=True
     )
     max_levels = cfg.grid_update_max_levels
     if max_levels is None:

@@ -202,3 +202,31 @@ def test_empty_distance_at_out_of_grid():
     pts = jnp.asarray([[10.0, 0.0, 0.0]])  # far outside the grid extent
     d = og.empty_distance_at(cfg, field, pts, max_dist=5)
     assert int(d[0]) == 5
+
+
+def test_stratified_grid_sampling_covers_every_voxel():
+    """The bijective cycling sampler must visit EVERY voxel exactly once
+    per nr_voxels/nr_points updates (the reference's iid sampling leaves
+    ~exp(-k/ratio) of the grid stale after k updates)."""
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = og.OccupancyGridConfig(nr_voxels_per_dim=16)  # 4096 voxels
+    n = 256
+    seen = np.zeros((cfg.nr_voxels,), np.int64)
+    key = jax.random.PRNGKey(0)
+    for k in range(cfg.nr_voxels // n):
+        centers, lin = og.compute_stratified_sample_of_grid_points(
+            cfg, key, n, jnp.uint32(k), jitter=False
+        )
+        seen[np.asarray(lin)] += 1
+        # jitter=False centers must be the exact voxel centers
+        np.testing.assert_allclose(
+            np.asarray(centers),
+            np.asarray(og.lin_idx_to_voxel_center(cfg, lin)), atol=0)
+    assert (seen == 1).all()
+    # and the cycle repeats
+    _, lin0 = og.compute_stratified_sample_of_grid_points(
+        cfg, key, n, jnp.uint32(cfg.nr_voxels // n), jitter=False)
+    _, lin_first = og.compute_stratified_sample_of_grid_points(
+        cfg, key, n, jnp.uint32(0), jitter=False)
+    np.testing.assert_array_equal(np.asarray(lin0), np.asarray(lin_first))
