@@ -615,8 +615,19 @@ def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
 
 def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
                  cfg: PermutoSDFTrainConfig, forced_variance=0.8, chunk: int = 2048):
-    """run_net_in_chunks equivalent (train_permuto_sdf.py:172-209)."""
+    """run_net_in_chunks equivalent (train_permuto_sdf.py:172-209).
+
+    The render sample budget is DISABLED here: the budget is the training
+    batch contract (the dynamic ray rebalancer keeps the valid count under
+    it); an eval chunk of object-dense rays can exceed it, and compaction
+    would silently drop the samples of the chunk's trailing rays (black
+    stripes at the chunk pitch). Chunking already bounds eval memory the
+    way run_net_in_chunks does, so the budget adds nothing at eval.
+    """
     from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
+
+    if cfg.render_sample_budget is not None:
+        cfg = dataclasses.replace(cfg, render_sample_budget=None)
 
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]

@@ -293,3 +293,31 @@ def test_interactive_viewer_repl(tmp_path):
     assert end.mode == "volumetric" and end.radius < 1.3 and end.angle < 0.0
     # the ANSI preview contains true-color half-block sequences
     assert any("\x1b[38;2;" in s for s in log)
+
+
+def test_render_image_ignores_sample_budget(tiny_reel):
+    """Eval rendering must not truncate object-dense chunks: a tiny
+    render_sample_budget (smaller than chunk x samples) must produce the
+    EXACT same image as budget=None (regression: black stripes at the
+    chunk pitch in the round-2 quality run)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    base = dict(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32,
+        grid_nr_voxels_per_dim=16, grid_nr_random_samples=512,
+        max_nr_samples_per_ray=8, nr_samples_imp_sampling=4,
+        nr_samples_bg=4,
+    )
+    cfg_budget = t.PermutoSDFTrainConfig(render_sample_budget=64, **base)
+    cfg_none = t.PermutoSDFTrainConfig(render_sample_budget=None, **base)
+    params = t.init_params(jax.random.PRNGKey(0), cfg_none, nr_cams=2)
+    grid = og.make_occupancy_grid(cfg_none.grid)
+    K = np.asarray(tiny_reel.K[0])
+    tf = np.asarray(tiny_reel.tf_world_cam[0])
+    rgb_b, nrm_b, a_b = t.render_image(params, grid, K, tf, 16, 12, 50,
+                                       cfg_budget, chunk=64)
+    rgb_n, nrm_n, a_n = t.render_image(params, grid, K, tf, 16, 12, 50,
+                                       cfg_none, chunk=64)
+    np.testing.assert_array_equal(rgb_b, rgb_n)
+    np.testing.assert_array_equal(a_b, a_n)
