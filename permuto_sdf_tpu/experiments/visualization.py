@@ -108,8 +108,10 @@ def cmd_vis4d(args):
     from permuto_sdf_tpu.models.fields import SDFConfig
     from permuto_sdf_tpu.datasets.mesh_io import Mesh, save_obj
 
+    from permuto_sdf_tpu.train.train_permuto_sdf import _device_resident
+
     cfg = SDFConfig(in_channels=4, geom_feat_size_out=0, nr_iters_for_c2f=3000)
-    params = ckpt.load_model(args.ckpt, "sdf_model")
+    params = _device_resident(ckpt.load_model(args.ckpt, "sdf_model"))
     os.makedirs(args.out_dir, exist_ok=True)
     if args.render_sweep:
         from permuto_sdf_tpu.train.train_4d_sdf import render_time_sweep

@@ -870,10 +870,18 @@ def render_image_sphere_traced_fast(
 
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]
+    # clamp the chunk to the frame's ray count (bucket-ladder granularity):
+    # a fixed 2^21 chunk is right for 1080p (2.07M rays) but at lower
+    # resolutions the pad-to-chunk would trace up to 13x dummy rays
+    # (measured 39 s for a 400^2 frame whose real work is ~3 s)
+    chunk = min(chunk, pow2_bucket(n, lo=256, hi=chunk))
     pad = (-n) % chunk
-    origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+    # pad rays start far OUTSIDE the bound sphere pointing away -> the
+    # boundary intersection kills them before any SDF evaluation
+    origins = jnp.concatenate(
+        [origins, jnp.tile(jnp.asarray([[10.0, 0.0, 0.0]]), (pad, 1))], 0)
     dirs = jnp.concatenate(
-        [dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+        [dirs, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (pad, 1))], 0)
 
     it = jnp.asarray(iter_nr_anneal)
     ctx = (params["sdf"], it)
@@ -1151,7 +1159,33 @@ def load_from_checkpoint(ckpt_path_full: str, cfg: PermutoSDFTrainConfig):
             )
     except FileNotFoundError:
         grid = None
+    # Launder everything through a jit identity so the leaves become
+    # genuine DEVICE-RESIDENT jit-output buffers. On this remote-TPU
+    # transport, host numpy leaves (and even jax.device_put results) are
+    # re-shipped on EVERY jitted call at a pathological per-call rate
+    # (~150 MB of params -> tens of seconds PER FRAME measured in the
+    # round-2 eval); jit outputs are passed by reference. One bulk upload
+    # here (~1.4 s) makes every downstream render/eval device-bound.
+    params = _device_resident(params)
+    if grid is not None:
+        grid = _device_resident(grid)
     return params, grid
+
+
+@jax.jit
+def _device_resident(tree):
+    """Value-identity whose outputs are fresh device buffers.
+
+    A pure pass-through could be input-output aliased by the runtime (and
+    behave like the slow device_put buffers), so each leaf goes through a
+    trivial compute op instead."""
+    def fresh(a):
+        a = jnp.asarray(a)
+        if a.dtype == jnp.bool_:
+            return a | False
+        return a + jnp.zeros((), a.dtype)
+
+    return jax.tree_util.tree_map(fresh, tree)
 
 
 def main():
