@@ -321,3 +321,29 @@ def test_render_image_ignores_sample_budget(tiny_reel):
                                        cfg_none, chunk=64)
     np.testing.assert_array_equal(rgb_b, rgb_n)
     np.testing.assert_array_equal(a_b, a_n)
+
+
+def test_checkpoint_load_returns_device_resident_params(tiny_reel, tmp_path):
+    """load_from_checkpoint must return jit-output (device-resident)
+    leaves: on the remote-TPU transport, host numpy leaves are re-shipped
+    on every jitted call (PERFORMANCE.md finding 17)."""
+    import os
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+    )
+    params = t.init_params(jax.random.PRNGKey(0), cfg, tiny_reel.nr_images)
+    grid = og.make_occupancy_grid(cfg.grid)
+    d = str(tmp_path)
+    t._save(d, "exp", 5, params, grid)
+    p2, g2 = t.load_from_checkpoint(os.path.join(d, "exp", "5", "models"), cfg)
+    for leaf in jax.tree_util.tree_leaves(p2) + [g2.values, g2.occupancy]:
+        assert isinstance(leaf, jax.Array), type(leaf)
+    # values unchanged by the laundering
+    for x, y in zip(jax.tree_util.tree_leaves(params["sdf"]),
+                    jax.tree_util.tree_leaves(p2["sdf"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
