@@ -138,6 +138,9 @@ def main():
             "ms_per_iter_incl_grid_updates": round(elapsed / measure_iters * 1e3, 1),
             "settled_nr_rays": cfg.nr_rays,
             "mean_valid_samples_per_iter": round(valid_samples / measure_iters),
+            # budget-normalized view: the reference renders 49152 valid
+            # samples in its 62 ms step => ~793k samples/s
+            "valid_samples_per_sec": round(valid_samples / elapsed),
             "grid_occupancy_frac": round(float(jnp.mean(grid.occupancy)), 4),
             "warmup_s": round(warm_s, 1),
         },
