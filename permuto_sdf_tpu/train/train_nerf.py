@@ -261,6 +261,10 @@ def train(reel: TensorReel, cfg: NerfTrainConfig, nr_iters: int | None = None,
           checkpoint_path: str | None = None, experiment_name: str = "nerf",
           save_every: int = 10000):
     nr_iters = nr_iters or cfg.iter_finish_training
+    # device-residency for the image stack (PERFORMANCE.md finding 17)
+    from permuto_sdf_tpu.train.train_permuto_sdf import _device_resident
+
+    reel = _device_resident(reel)
     key = jax.random.PRNGKey(seed)
     params = init_params(jax.random.fold_in(key, 0), cfg, reel.nr_images)
     optimizer = make_optimizer(cfg)

@@ -1007,6 +1007,12 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
     nr_iters = nr_iters or cfg.iter_finish_training
     if data_parallel is None:
         data_parallel = jax.device_count() > 1
+    if not data_parallel:
+        # one bulk upload; host-backed reel buffers would otherwise be
+        # re-shipped into EVERY step on the remote-TPU transport
+        # (PERFORMANCE.md finding 17 — ruinous for DTU-scale image
+        # stacks). The DP path shards/replicates the reel itself.
+        reel = _device_resident(reel)
     mesh = None
     dp_step_cache = {}
     if data_parallel:
