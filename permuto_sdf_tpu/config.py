@@ -66,11 +66,10 @@ def apply_overrides(cfg: T, overrides: dict) -> T:
     return dataclasses.replace(cfg, **updates)
 
 
-def load_config(cfg_type: Type[T], path: str | None = None,
-                cli_overrides: list[str] | None = None, **kwargs) -> T:
-    """Build ``cfg_type()`` then layer file overrides, then ``key=value``
-    CLI overrides, then explicit kwargs (highest priority)."""
-    cfg = cfg_type()
+def apply_file_and_cli(cfg: T, path: str | None = None,
+                       cli_overrides: list[str] | None = None) -> T:
+    """Layer file overrides, then ``key=value`` CLI overrides, onto an
+    existing config instance (whose values are the base)."""
     if path:
         cfg = apply_overrides(cfg, load_config_dict(path))
     if cli_overrides:
@@ -85,6 +84,14 @@ def load_config(cfg_type: Type[T], path: str | None = None,
                 pass  # keep as string; _coerce handles typed fields
             kv[k] = v
         cfg = apply_overrides(cfg, kv)
+    return cfg
+
+
+def load_config(cfg_type: Type[T], path: str | None = None,
+                cli_overrides: list[str] | None = None, **kwargs) -> T:
+    """Build ``cfg_type()`` then layer file overrides, then ``key=value``
+    CLI overrides, then explicit kwargs (highest priority)."""
+    cfg = apply_file_and_cli(cfg_type(), path, cli_overrides)
     if kwargs:
         cfg = apply_overrides(cfg, kwargs)
     return cfg

@@ -131,8 +131,14 @@ def cmd_psnr(args):
     print(json.dumps({
         "psnr_mean": float(np.mean(scores_p)),
         "ssim_mean": float(np.mean(scores_s)),
-        "lpips_mean": float(np.mean(scores_l)),
-        "lpips_note": "random-VGG-feature LPIPS form (see eval/metrics.py)",
+        # deliberately NOT named "lpips_mean": this is the random-feature
+        # substitute (pretrained VGG weights are unobtainable in this
+        # environment) — the values rank image pairs but are NOT comparable
+        # to published pretrained-VGG LPIPS numbers
+        "lpips_randfeat_mean": float(np.mean(scores_l)),
+        "lpips_randfeat_note": "UNCALIBRATED random-VGG-feature perceptual "
+                               "distance (see eval/metrics.py) — not "
+                               "comparable to pretrained-VGG LPIPS",
         "per_image_psnr": scores_p,
     }))
 

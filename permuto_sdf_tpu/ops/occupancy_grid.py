@@ -372,7 +372,13 @@ def advance_sample_to_next_occupied_voxel(
 
     Static-shape version: probe ``max_steps`` points spaced half a voxel
     apart and jump to the first occupied one. Returns
-    (new_pos [N, 3], is_within_grid_bounds [N])."""
+    (new_pos [N, 3], is_within_grid_bounds [N]).
+
+    NB: kept for API parity with the reference binding; the sphere tracers
+    all use :func:`chebyshev_empty_distance` jumps instead — the half-voxel
+    probe pitch here can step OVER occupancy regions thinner than half a
+    voxel along the ray diagonal, and its 48 probes/ray/step cost 48
+    gather instances where the distance field costs one."""
     step = cfg.voxel_size * 0.5
     ts = jnp.arange(max_steps, dtype=jnp.float32) * step  # [K], includes 0
     probes = pos[:, None, :] + ts[None, :, None] * dirs[:, None, :]

@@ -31,6 +31,14 @@ import jax.numpy as jnp
 from permuto_sdf_tpu.ops import occupancy_grid as og
 
 
+# chebyshev_empty_distance cap: also the max empty-space jump per step, in
+# voxels. 63 lets a miss ray cross the whole 256^3 grid in ~4 steps instead
+# of ~18 at cap 15 — the first trace round processes EVERY bound-hitting
+# ray, so fast miss-exit dominates its cost. Field build is 63 min-pool
+# sweeps, once per grid state.
+_EMPTY_DIST_CAP = 63
+
+
 def sphere_trace(
     sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
     ray_origins, ray_dirs, boundary_primitive,
@@ -40,6 +48,7 @@ def sphere_trace(
     grid_cfg: Optional[og.OccupancyGridConfig] = None,
     grid: Optional[og.OccupancyGridState] = None,
     time_val: Optional[float] = None,
+    dist_field=None,
 ):
     """Returns (pos [R,3], sdf [R], converged_mask [R], within_bounds [R]).
 
@@ -58,9 +67,17 @@ def sphere_trace(
         # nudge half a voxel inside (sdf_utils.py:131-133)
         pos = pos + ray_dirs * grid_cfg.voxel_size * 0.5
         alive = has_occ & hit[:, 0]
+        if dist_field is None:
+            # empty-space skip reads the grid's Chebyshev distance field
+            # (one gather/ray/step) instead of probing at half-voxel pitch,
+            # whose 48-step span could step OVER thin diagonal occupancy.
+            # Pass a precomputed field to amortize the build across chunks.
+            dist_field = og.chebyshev_empty_distance(grid_cfg, grid.occupancy,
+                                                     _EMPTY_DIST_CAP)
     else:
         pos = p_entry
         alive = hit[:, 0]
+        dist_field = None
 
     def eval_sdf(p):
         if time_val is not None:
@@ -77,16 +94,18 @@ def sphere_trace(
         newly = jnp.abs(sdf) < sdf_converged_tresh
         converged = converged | (newly & alive)
 
-        if grid is not None and grid_cfg is not None:
-            adv_pos, within = og.advance_sample_to_next_occupied_voxel(
-                grid_cfg, grid, ray_dirs, new_pos
-            )
+        if dist_field is not None:
+            # a voxel at Chebyshev distance k to occupancy allows a safe
+            # (k-1)-voxel advance along any direction (L2 >= L-inf)
+            k = og.empty_distance_at(grid_cfg, dist_field, new_pos,
+                                     _EMPTY_DIST_CAP)
+            jump = jnp.maximum(k - 1, 0).astype(new_pos.dtype) \
+                * grid_cfg.voxel_size
             move = (~converged & alive)[:, None]
-            new_pos = jnp.where(move, adv_pos, new_pos)
-            alive = alive & (converged | within)
-        else:
-            inside = boundary_primitive.check_point_inside_primitive(new_pos)[:, 0]
-            alive = alive & (converged | inside)
+            new_pos = jnp.where(move, new_pos + jump[:, None] * ray_dirs,
+                                new_pos)
+        inside = boundary_primitive.check_point_inside_primitive(new_pos)[:, 0]
+        alive = alive & (converged | inside)
         return i + 1, new_pos, converged, alive
 
     def cond(carry):
@@ -126,6 +145,7 @@ def sphere_trace_compacted(
     grid: Optional[og.OccupancyGridState] = None,
     time_val: Optional[float] = None,
     first_bucket_fraction: float = 0.25,
+    dist_field=None,
 ):
     """Sphere tracing with static-shape ray compaction between rounds.
 
@@ -160,9 +180,13 @@ def sphere_trace_compacted(
         pos = ray_origins + t_first[:, None] * ray_dirs
         pos = pos + ray_dirs * grid_cfg.voxel_size * 0.5
         alive = has_occ & hit[:, 0]
+        if dist_field is None:
+            dist_field = og.chebyshev_empty_distance(grid_cfg, grid.occupancy,
+                                                     _EMPTY_DIST_CAP)
     else:
         pos = p_entry
         alive = hit[:, 0]
+        dist_field = None
 
     def eval_sdf(p):
         if time_val is not None:
@@ -201,18 +225,18 @@ def sphere_trace_compacted(
                              sub_dirs * (s * sdf_multiplier)[:, None], 0.0)
             new_pos = sub_pos + step
             sub_conv = sub_conv | ((jnp.abs(s) < sdf_converged_tresh) & sub_alive)
-            if grid is not None and grid_cfg is not None:
-                adv_pos, within = og.advance_sample_to_next_occupied_voxel(
-                    grid_cfg, grid, sub_dirs, new_pos
-                )
+            if dist_field is not None:
+                k = og.empty_distance_at(grid_cfg, dist_field, new_pos,
+                                         _EMPTY_DIST_CAP)
+                jump = jnp.maximum(k - 1, 0).astype(new_pos.dtype) \
+                    * grid_cfg.voxel_size
                 move = (~sub_conv & sub_alive)[:, None]
-                new_pos = jnp.where(move, adv_pos, new_pos)
-                sub_alive = sub_alive & (sub_conv | within)
-            else:
-                inside = boundary_primitive.check_point_inside_primitive(
-                    new_pos
-                )[:, 0]
-                sub_alive = sub_alive & (sub_conv | inside)
+                new_pos = jnp.where(move, new_pos + jump[:, None] * sub_dirs,
+                                    new_pos)
+            inside = boundary_primitive.check_point_inside_primitive(
+                new_pos
+            )[:, 0]
+            sub_alive = sub_alive & (sub_conv | inside)
             sub_pos = new_pos
 
         pos_f = pos_f.at[idx].set(sub_pos)
@@ -268,23 +292,18 @@ def _with_time(p, time_val):
     return jnp.concatenate([p, t], axis=-1)
 
 
-# chebyshev_empty_distance cap: also the max empty-space jump per step, in
-# voxels. 63 lets a miss ray cross the whole 256^3 grid in ~4 steps instead
-# of ~18 at cap 15 — the first trace round processes EVERY bound-hitting
-# ray, so fast miss-exit dominates its cost. Field build is 63 min-pool
-# sweeps, once per grid state.
-_EMPTY_DIST_CAP = 63
-
-
 @functools.partial(jax.jit, static_argnames=("grid_cfg",))
 def _grid_distance_field(grid_cfg, grid):
     return og.chebyshev_empty_distance(grid_cfg, grid.occupancy,
                                        _EMPTY_DIST_CAP)
 
 
+# NB ``time_val`` is a TRACED operand (None -> empty pytree): every distinct
+# time value of a 4D time sweep reuses one compiled kernel instead of
+# paying a recompile per frame.
 @functools.partial(jax.jit, static_argnames=(
     "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
-    "sdf_converged_tresh", "time_val"))
+    "sdf_converged_tresh"))
 def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
                   t_f, alive_f, conv_f, sdf_f, grid_cfg,
                   iters: int, bucket: int, sdf_multiplier: float,
@@ -334,7 +353,7 @@ def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
     return t_f, alive_f, conv_f, sdf_f, jnp.stack([n_active, n_hit])
 
 
-@functools.partial(jax.jit, static_argnames=("sdf_eval", "bucket", "time_val"))
+@functools.partial(jax.jit, static_argnames=("sdf_eval", "bucket"))
 def _refresh_sdf(sdf_eval, ctx, pos_f, mask_f, sdf_f, bucket: int, time_val):
     """Re-evaluate the sdf at the final position of the masked rays (bucket
     sized by the host from the true converged count — every ray gets its
@@ -396,6 +415,9 @@ def sphere_trace_adaptive(
     device round-trip).
     """
     R = ray_origins.shape[0]
+    if time_val is not None:
+        # traced scalar: all time values share one compiled trace kernel
+        time_val = jnp.asarray(time_val, jnp.float32)
     p_entry, t_entry_c, _, t_exit_c, hit = boundary_primitive.ray_intersection(
         ray_origins, ray_dirs
     )

@@ -254,9 +254,10 @@ def _make_sdf_eval_4d(cfg: SDFConfig):
     return eval_fn
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "bucket", "time_val"))
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
 def _shade_normals_4d(params, pos, lit, cfg: SDFConfig, bucket: int, time_val):
-    """Spatial normals at the lit rays of a time slice (compacted)."""
+    """Spatial normals at the lit rays of a time slice (compacted).
+    ``time_val`` is traced — the whole sweep shares one compiled shader."""
     R = pos.shape[0]
     (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], 0)
@@ -303,7 +304,8 @@ def render_time_sweep(params, cfg: SDFConfig, out_dir: str, nr_times: int = 10,
         )
         lit = conv & alive
         bucket = pow2_bucket(max(n_hit, 1), lo=256, hi=max(256, width * height))
-        normals = _shade_normals_4d(params, pos, lit, cfg, bucket, t)
+        normals = _shade_normals_4d(params, pos, lit, cfg, bucket,
+                                    jnp.float32(t))
         normals = np.asarray(normals).reshape(height, width, 3)
         lam = np.clip(normals @ light, 0.0, 1.0)[..., None]
         img = (0.15 + 0.85 * lam) * (normals * 0.5 + 0.5)

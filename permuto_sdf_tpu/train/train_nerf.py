@@ -314,6 +314,12 @@ def main():
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--checkpoint_path", default=None)
     parser.add_argument("--exp_info", default="")
+    parser.add_argument("--config", default=None,
+                        help="hjson-style config file (see config/"
+                             "train_nerf.cfg)")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", dest="overrides",
+                        help="config override, repeatable")
     args = parser.parse_args()
 
     if args.dataset == "synthetic":
@@ -330,15 +336,19 @@ def main():
         reel = load_dtu_scene(args.scene_dir, low_res=args.low_res,
                               with_mask=args.with_mask)
 
+    from permuto_sdf_tpu.config import apply_file_and_cli
+
     if args.smoke:
         cfg = NerfTrainConfig(with_mask=args.with_mask, capacity=2 ** 14,
                               nr_levels=8, nr_rays=256,
                               grid_nr_random_samples=4096)
+        cfg = apply_file_and_cli(cfg, args.config, args.overrides)
         params, grid, history = train(reel, cfg, nr_iters=300, log_every=50)
         assert history[-1][1] < history[0][1], "smoke: loss did not decrease"
         print("SMOKE OK: loss", history[0][1], "->", history[-1][1])
     else:
-        cfg = NerfTrainConfig(with_mask=args.with_mask)
+        cfg = apply_file_and_cli(NerfTrainConfig(with_mask=args.with_mask),
+                                 args.config, args.overrides)
         exp = "nerf" + (f"_{args.exp_info}" if args.exp_info else "")
         train(reel, cfg, nr_iters=args.nr_iters,
               checkpoint_path=args.checkpoint_path, experiment_name=exp)

@@ -655,7 +655,8 @@ def render_rays_sphere_traced(params, grid, origins, dirs, iter_nr_anneal,
                               cfg: PermutoSDFTrainConfig,
                               nr_sphere_traces: int = 15,
                               sdf_multiplier: float = 0.9,
-                              sdf_converged_tresh: float = 2e-4):
+                              sdf_converged_tresh: float = 2e-4,
+                              dist_field=None):
     """run_net_sphere_traced equivalent (train_permuto_sdf.py:211-242):
     sphere trace to the surface, then shade ONE sample per ray with the RGB
     model; weights 1 inside occupied+bounded space else 0."""
@@ -668,6 +669,7 @@ def render_rays_sphere_traced(params, grid, origins, dirs, iter_nr_anneal,
     pos, sdf, converged, alive = sphere_trace(
         sdf_fn, origins, dirs, BOUND, nr_sphere_traces, sdf_multiplier,
         sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
+        dist_field=dist_field,
     )
 
     sdf_end, grads_end, geom_end = sdf_with_gradient(
@@ -698,7 +700,8 @@ def render_rays_sphere_traced_compacted(
         cfg: PermutoSDFTrainConfig, nr_rounds: int = 5,
         iters_per_round: int = 3, sdf_multiplier: float = 0.9,
         sdf_converged_tresh: float = 2e-4,
-        first_bucket_fraction: float = 0.25):
+        first_bucket_fraction: float = 0.25,
+        dist_field=None):
     """Interactive-path renderer: static-shape ray compaction for BOTH the
     trace (ops/sphere_trace.py::sphere_trace_compacted) and the final
     shading pass — only converged surface hits pay the full-resolution
@@ -713,7 +716,7 @@ def render_rays_sphere_traced_compacted(
     pos, sdf, converged, alive = sphere_trace_compacted(
         sdf_fn, origins, dirs, BOUND, nr_rounds, iters_per_round,
         sdf_multiplier, sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
-        first_bucket_fraction=first_bucket_fraction,
+        first_bucket_fraction=first_bucket_fraction, dist_field=dist_field,
     )
 
     in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
@@ -800,6 +803,23 @@ def _shade_hits(params, pos, dirs, lit, iter_nr_anneal, cfg: PermutoSDFTrainConf
 
 
 _DIST_FIELD_CACHE: dict = {}
+
+
+def _cached_dist_field(grid_cfg, grid):
+    """One Chebyshev distance field per grid STATE, so repeated frames of
+    the same checkpoint (orbits, interactive viewing) skip the 63 min-pool
+    sweeps. The cache HOLDS the occupancy buffer it was built from and
+    compares by identity-of-that-held-object: a bare ``id()`` key could be
+    recycled by the allocator after the old buffer is garbage-collected and
+    silently serve a stale field to a new grid."""
+    from permuto_sdf_tpu.ops.sphere_trace import _grid_distance_field
+
+    if (_DIST_FIELD_CACHE.get("occ") is not grid.occupancy
+            or _DIST_FIELD_CACHE.get("cfg") != grid_cfg):
+        _DIST_FIELD_CACHE["occ"] = grid.occupancy
+        _DIST_FIELD_CACHE["cfg"] = grid_cfg
+        _DIST_FIELD_CACHE["field"] = _grid_distance_field(grid_cfg, grid)
+    return _DIST_FIELD_CACHE["field"]
 
 
 @jax.jit
@@ -899,14 +919,7 @@ def render_image_sphere_traced_fast(
 
     grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
     if grid_cfg is not None and dist_field is None:
-        # one distance field per grid STATE — cache on the occupancy
-        # buffer's identity so repeated frames of the same checkpoint
-        # (orbits, interactive viewing) skip the 63 min-pool sweeps
-        key = (id(grid.occupancy), grid_cfg)
-        if _DIST_FIELD_CACHE.get("key") != key:
-            _DIST_FIELD_CACHE["key"] = key
-            _DIST_FIELD_CACHE["field"] = _grid_distance_field(grid_cfg, grid)
-        dist_field = _DIST_FIELD_CACHE["field"]
+        dist_field = _cached_dist_field(grid_cfg, grid)
     rgbs, normals, alphas = [], [], []
     for i in range(0, n + pad, chunk):
         o, d = origins[i : i + chunk], dirs[i : i + chunk]
@@ -947,6 +960,10 @@ def render_image_sphere_traced(params, grid, K, tf_world_cam, width, height,
                                chunk: int = 8192, **trace_kwargs):
     from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
 
+    if (cfg.use_occupancy_grid and grid is not None
+            and "dist_field" not in trace_kwargs):
+        # build the Chebyshev empty-space field once per image, not per chunk
+        trace_kwargs["dist_field"] = _cached_dist_field(cfg.grid, grid)
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]
     pad = (-n) % chunk
@@ -1213,6 +1230,14 @@ def main():
                         help="resume training: pass a <...>/models dir, or no "
                              "value to auto-pick the latest checkpoint under "
                              "--checkpoint_path/<experiment>")
+    parser.add_argument("--config", default=None,
+                        help="hjson-style config file (see config/"
+                             "train_permuto_sdf.cfg) loaded onto "
+                             "PermutoSDFTrainConfig")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", dest="overrides",
+                        help="config override, repeatable (e.g. --set "
+                             "nr_rays=1024)")
     args = parser.parse_args()
 
     if args.dataset == "synthetic":
@@ -1230,6 +1255,8 @@ def main():
                            data_root=args.scene_dir, low_res=args.low_res,
                            with_mask=args.with_mask)
 
+    from permuto_sdf_tpu.config import apply_file_and_cli
+
     if args.smoke:
         cfg = PermutoSDFTrainConfig(
             with_mask=args.with_mask, capacity=2 ** 14, nr_levels=8,
@@ -1239,6 +1266,7 @@ def main():
             max_nr_samples_per_ray=32, nr_samples_imp_sampling=8,
             warmup_iters=100,
         )
+        cfg = apply_file_and_cli(cfg, args.config, args.overrides)
         params, grid, history = train(reel, cfg, nr_iters=600, log_every=50)
         post = [h for h in history if h[0] >= cfg.nr_iter_sphere_fit]
         assert post[-1][2] < post[0][2] * 0.9, (
@@ -1246,7 +1274,9 @@ def main():
         )
         print("SMOKE OK:", post[0], "->", post[-1])
     else:
-        cfg = PermutoSDFTrainConfig(with_mask=args.with_mask)
+        cfg = apply_file_and_cli(
+            PermutoSDFTrainConfig(with_mask=args.with_mask),
+            args.config, args.overrides)
         exp = "permuto_sdf" + (f"_{args.exp_info}" if args.exp_info else "")
         resume_from = args.resume
         if resume_from == "latest":
