@@ -40,8 +40,15 @@ import jax.numpy as jnp
 REFERENCE_RAYS_PER_SEC = 512.0 / 0.062  # ~8258 rays/s (62 ms for 512 rays)
 
 
+REFERENCE_VALID_SAMPLES_PER_SEC = 49152.0 / 0.062  # ~793k samples/s
+
+
 def main():
     quick = "--quick" in sys.argv
+    steps = None
+    for i, a in enumerate(sys.argv):
+        if a == "--steps" and i + 1 < len(sys.argv):
+            steps = int(sys.argv[i + 1])
 
     from permuto_sdf_tpu.train import train_permuto_sdf as tps
     from permuto_sdf_tpu.ops import occupancy_grid as og
@@ -49,7 +56,8 @@ def main():
 
     sphere_iters = 100 if quick else 300
     warmup_iters = 60 if quick else 1100
-    measure_iters = 20 if quick else 100
+    measure_iters = steps or (20 if quick else 100)
+    nr_windows = 1 if quick else 3
 
     # ``forced_variance_finish_iter`` is compressed (35000 -> 600) so the
     # warmup actually REACHES the steady-state operating point both

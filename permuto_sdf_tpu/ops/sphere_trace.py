@@ -298,16 +298,10 @@ def _grid_distance_field(grid_cfg, grid):
                                        _EMPTY_DIST_CAP)
 
 
-# NB ``time_val`` is a TRACED operand (None -> empty pytree): every distinct
-# time value of a 4D time sweep reuses one compiled kernel instead of
-# paying a recompile per frame.
-@functools.partial(jax.jit, static_argnames=(
-    "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
-    "sdf_converged_tresh"))
-def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
-                  t_f, alive_f, conv_f, sdf_f, grid_cfg,
-                  iters: int, bucket: int, sdf_multiplier: float,
-                  sdf_converged_tresh: float, time_val):
+def _trace_rounds_impl(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
+                       t_f, alive_f, conv_f, sdf_f, grid_cfg,
+                       iters: int, bucket: int, sdf_multiplier: float,
+                       sdf_converged_tresh: float, time_val):
     """``iters`` trace steps on a host-sized bucket of active rays; state is
     the per-ray t along the ray. Empty-space skipping reads the grid's
     Chebyshev distance field (og.chebyshev_empty_distance): ONE gather per
@@ -353,8 +347,16 @@ def _trace_rounds(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
     return t_f, alive_f, conv_f, sdf_f, jnp.stack([n_active, n_hit])
 
 
-@functools.partial(jax.jit, static_argnames=("sdf_eval", "bucket"))
-def _refresh_sdf(sdf_eval, ctx, pos_f, mask_f, sdf_f, bucket: int, time_val):
+# NB ``time_val`` is a TRACED operand (None -> empty pytree): every distinct
+# time value of a 4D time sweep reuses one compiled kernel instead of
+# paying a recompile per frame.
+_trace_rounds = functools.partial(jax.jit, static_argnames=(
+    "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
+    "sdf_converged_tresh"))(_trace_rounds_impl)
+
+
+def _refresh_sdf_impl(sdf_eval, ctx, pos_f, mask_f, sdf_f, bucket: int,
+                      time_val):
     """Re-evaluate the sdf at the final position of the masked rays (bucket
     sized by the host from the true converged count — every ray gets its
     final-position sdf)."""
@@ -362,6 +364,131 @@ def _refresh_sdf(sdf_eval, ctx, pos_f, mask_f, sdf_f, bucket: int, time_val):
     (idx,) = jnp.nonzero(mask_f[:R], size=bucket, fill_value=R)
     s = sdf_eval(ctx, _with_time(pos_f[idx], time_val)).reshape(-1)
     return sdf_f.at[idx].set(jnp.where(idx < R, s, sdf_f[idx]))
+
+
+_refresh_sdf = functools.partial(jax.jit, static_argnames=(
+    "sdf_eval", "bucket"))(_refresh_sdf_impl)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel adaptive tracing (rays sharded over the device mesh)
+# ---------------------------------------------------------------------------
+#
+# The same host-adaptive machinery, SPMD over a 1-D "rays" mesh: every
+# per-ray state array carries a leading device axis [D, R_local(+1)]
+# sharded with PartitionSpec("rays"); each device runs the identical
+# _trace_rounds_impl on its local block (params / grid / distance field
+# replicated; zero collectives — rays are independent). The host sizes ONE
+# shared bucket per round from the max per-device active count; rays are
+# pre-interleaved (ray i -> device i % D, parallel/render.py) so the
+# per-device counts stay within a few % of each other on real frames.
+
+
+@functools.lru_cache(maxsize=None)
+def _dp_trace_rounds(mesh, sdf_eval, grid_cfg, iters: int, bucket: int,
+                     sdf_multiplier: float, sdf_converged_tresh: float):
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from permuto_sdf_tpu.parallel.mesh import RAY_AXIS
+
+    def body(ctx, origins_f, dirs_f, texit_f, dist_field,
+             t_f, alive_f, conv_f, sdf_f, time_val):
+        t, alive, conv, sdf, counts = _trace_rounds_impl(
+            sdf_eval, ctx, origins_f[0], dirs_f[0], texit_f[0], dist_field,
+            t_f[0], alive_f[0], conv_f[0], sdf_f[0], grid_cfg, iters, bucket,
+            sdf_multiplier, sdf_converged_tresh, time_val,
+        )
+        return t[None], alive[None], conv[None], sdf[None], counts[None]
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(),
+                  P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS),) * 5,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sphere_trace_adaptive_dp(
+    mesh, sdf_eval, ctx, origins_sh, dirs_sh, boundary_primitive,
+    nr_rounds: int = 5, iters_per_round: int = 3,
+    sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
+    grid_cfg=None, grid=None, time_val=None,
+    refine_sdf_eval=None, refine_ctx=None, nr_refine_iters: int = 3,
+    min_bucket: int = 256, dist_field=None, round_sdf_evals: tuple = (),
+):
+    """:func:`sphere_trace_adaptive` over a device mesh.
+
+    ``origins_sh`` / ``dirs_sh`` are PRE-SHARDED [D, R_local, 3] (use
+    parallel.render.interleave_shard). Returns the sharded final state
+    ``(t [D,R_local], alive, conv, sdf, n_hit_max)`` — positions are
+    ``origins + t*dirs``; callers shade device-side before unsharding
+    (fetching full-frame float state would defeat the DP win)."""
+    import jax.numpy as jnp
+
+    D, R_local = origins_sh.shape[0], origins_sh.shape[1]
+    if time_val is not None:
+        time_val = jnp.asarray(time_val, jnp.float32)
+    flat = origins_sh.reshape(-1, 3)
+    flat_d = dirs_sh.reshape(-1, 3)
+    _, t_entry, _, t_exit, hit = boundary_primitive.ray_intersection(flat, flat_d)
+    if grid is not None and grid_cfg is not None and dist_field is None:
+        dist_field = _grid_distance_field(grid_cfg, grid)
+    if grid is None or grid_cfg is None:
+        dist_field = None
+
+    def shard_pad(x, fill):
+        x = x.reshape(D, R_local, *x.shape[1:])
+        pad = jnp.full((D, 1) + x.shape[2:], fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=1)
+
+    origins_f = shard_pad(flat, 0.0)
+    dirs_f = shard_pad(flat_d, 0.0)
+    texit_f = shard_pad(t_exit[:, 0], 0.0)
+    t_f = shard_pad(t_entry[:, 0], 0.0)
+    alive_f = shard_pad(hit[:, 0], False)
+    conv_f = jnp.zeros((D, R_local + 1), bool)
+    sdf_f = jnp.zeros((D, R_local + 1), jnp.float32)
+
+    per_dev = jnp.sum(alive_f[:, :R_local], axis=1)
+    n_active = int(per_dev.sum())
+    max_active = int(per_dev.max())  # sizes the first shared bucket
+    n_hit_max = 0
+    for rnd in range(nr_rounds):
+        if n_active == 0:
+            break
+        ev = round_sdf_evals[rnd] if rnd < len(round_sdf_evals) else sdf_eval
+        bucket = pow2_bucket(max(max_active, 1), lo=min_bucket,
+                             hi=max(min_bucket, R_local))
+        step = _dp_trace_rounds(mesh, ev, grid_cfg, iters_per_round, bucket,
+                                sdf_multiplier, sdf_converged_tresh)
+        t_f, alive_f, conv_f, sdf_f, counts = step(
+            ctx, origins_f, dirs_f, texit_f, dist_field,
+            t_f, alive_f, conv_f, sdf_f, time_val,
+        )
+        counts = np.asarray(counts)  # [D, 2]
+        n_active = int(counts[:, 0].sum())
+        max_active = int(counts[:, 0].max())
+        n_hit_max = int(counts[:, 1].max())
+
+    if refine_sdf_eval is not None and n_hit_max > 0:
+        hit_f = conv_f & alive_f
+        bucket = pow2_bucket(n_hit_max, lo=min_bucket,
+                             hi=max(min_bucket, R_local))
+        step = _dp_trace_rounds(mesh, refine_sdf_eval, grid_cfg,
+                                nr_refine_iters, bucket, sdf_multiplier,
+                                sdf_converged_tresh)
+        t_f, alive_ref, conv_ref, sdf_f, counts = step(
+            refine_ctx, origins_f, dirs_f, texit_f, dist_field,
+            t_f, hit_f, jnp.zeros_like(conv_f), sdf_f, time_val,
+        )
+        conv_f = jnp.where(hit_f, conv_ref & alive_ref, conv_f)
+        alive_f = jnp.where(hit_f, alive_ref, alive_f)
+        n_hit_max = int(np.asarray(counts)[:, 1].max())
+
+    return (t_f[:, :R_local], alive_f[:, :R_local], conv_f[:, :R_local],
+            sdf_f[:, :R_local], n_hit_max)
 
 
 def _padded(x, fill=0.0):

@@ -458,6 +458,51 @@ def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def make_dp_occupancy_update(mesh, cfg: PermutoSDFTrainConfig):
+    """Occupancy refresh under the device mesh: each device evaluates the
+    SDF on 1/D of the stratified probe points (the expensive part — 262k
+    encodes at flagship scale), the per-sample sdf values are all-gathered
+    (~1 MB over ICI), and every device applies the identical update so the
+    grid stays bitwise replicated. Same math as :func:`occupancy_update`
+    (the voxel ids and probe jitter derive from the shared key)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from permuto_sdf_tpu.parallel.mesh import RAY_AXIS
+
+    n_dev = mesh.devices.size
+    n_samples = cfg.grid_nr_random_samples
+    assert n_samples % n_dev == 0, (n_samples, n_dev)
+    local = n_samples // n_dev
+
+    def body(params, grid, key, iter_nr_anneal, inv_s):
+        update_idx = jnp.asarray(iter_nr_anneal // cfg.grid_update_every,
+                                 jnp.uint32)
+        centers, lin = og.compute_stratified_sample_of_grid_points(
+            cfg.grid, key, n_samples, update_idx, jitter=True
+        )
+        d_idx = jax.lax.axis_index(RAY_AXIS)
+        centers_local = jax.lax.dynamic_slice_in_dim(centers, d_idx * local,
+                                                     local)
+        max_levels = cfg.grid_update_max_levels
+        if max_levels is None:
+            max_levels = cfg.imp_sampling_max_levels
+        sdf_local, _ = sdf_apply(params["sdf"], centers_local, iter_nr_anneal,
+                                 cfg.sdf_model, max_levels=max_levels)
+        sdf = jax.lax.all_gather(sdf_local, RAY_AXIS, axis=0, tiled=True)
+        return og.update_with_sdf_random_sample(
+            cfg.grid, grid, lin, sdf, inv_s, cfg.grid_occupancy_thresh
+        )
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
                            cfg: PermutoSDFTrainConfig):
     """Pure gradient computation for one ray batch — the unit that data
@@ -603,9 +648,11 @@ def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
 # Eval rendering
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
-                     cos_anneal_ratio, forced_variance, cfg: PermutoSDFTrainConfig):
+def _eval_render_fn(params, grid, aux, origins, dirs, iter_nr_anneal,
+                    cos_anneal_ratio, forced_variance, *,
+                    cfg: PermutoSDFTrainConfig):
+    """Pure per-device volumetric eval render — the unit that DP rendering
+    shards over the mesh (parallel/render.py). ``aux`` unused."""
     pred_rgb, pred_normals, _, weights_sum, _, _, _ = run_net(
         params, grid, jax.random.PRNGKey(0), origins, dirs, None,
         iter_nr_anneal, cos_anneal_ratio, forced_variance, cfg, jitter=False,
@@ -613,8 +660,16 @@ def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
     return pred_rgb, pred_normals, weights_sum
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
+                     cos_anneal_ratio, forced_variance, cfg: PermutoSDFTrainConfig):
+    return _eval_render_fn(params, grid, None, origins, dirs, iter_nr_anneal,
+                           cos_anneal_ratio, forced_variance, cfg=cfg)
+
+
 def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
-                 cfg: PermutoSDFTrainConfig, forced_variance=0.8, chunk: int = 2048):
+                 cfg: PermutoSDFTrainConfig, forced_variance=0.8, chunk: int = 2048,
+                 mesh=None):
     """run_net_in_chunks equivalent (train_permuto_sdf.py:172-209).
 
     The render sample budget is DISABLED here: the budget is the training
@@ -623,6 +678,13 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
     would silently drop the samples of the chunk's trailing rays (black
     stripes at the chunk pitch). Chunking already bounds eval memory the
     way run_net_in_chunks does, so the budget adds nothing at eval.
+
+    Multi-chip: when more than one device is visible (or ``mesh`` is
+    passed), rays are sharded over the device mesh with params/grid
+    replicated — pixel-identical to the single-device path, ~device_count x
+    faster (rays are embarrassingly parallel; the reference is strictly
+    single-GPU, src/PermutoSDF.cu:75-78). ``chunk`` stays the PER-DEVICE
+    chunk size.
     """
     from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
 
@@ -631,6 +693,25 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
 
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]
+
+    if mesh is None and jax.device_count() > 1:
+        from permuto_sdf_tpu.parallel import make_ray_mesh
+
+        mesh = make_ray_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from permuto_sdf_tpu.parallel.render import (
+            make_dp_ray_renderer, dp_render_chunked,
+        )
+
+        renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
+        scalars = (jnp.asarray(iter_nr_anneal), jnp.asarray(1.0),
+                   jnp.asarray(forced_variance))
+        # pad rays start outside the bound pointing away -> no work
+        rgb, nrm, alpha = dp_render_chunked(
+            renderer, mesh, params, grid, None, origins, dirs, scalars, chunk)
+        return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
+                alpha.reshape(height, width, 1))
+
     pad = (-n) % chunk
     origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
     dirs = jnp.concatenate([dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
@@ -865,13 +946,125 @@ def _shade_hits_compact(params, pos, dirs, lit, iter_nr_anneal,
     return idx.astype(jnp.int32), q(sub_rgb), q(sub_normals * 0.5 + 0.5), lit
 
 
+@functools.lru_cache(maxsize=None)
+def _make_dp_shade(mesh, cfg: PermutoSDFTrainConfig, bucket: int, grid_cfg):
+    """Mesh-sharded hit shading: each device computes its slice's lit mask,
+    gathers its hits into the shared ``bucket``, shades (full-res SDF
+    gradient + RGB model) and returns compacted uint8 results — the same
+    transport-frugal contract as :func:`_shade_hits_compact`, x D."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from permuto_sdf_tpu.parallel.mesh import RAY_AXIS
+
+    def body(params, grid, origins_sh, dirs_sh, t_sh, conv_sh, alive_sh, it):
+        o, d_, t = origins_sh[0], dirs_sh[0], t_sh[0]
+        conv, alive = conv_sh[0], alive_sh[0]
+        pos = o + t[:, None] * d_
+        in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
+        if grid_cfg is not None:
+            in_bounds = in_bounds & og.check_occupancy(grid_cfg, grid, pos)
+        lit = conv & alive & in_bounds
+        R = pos.shape[0]
+        (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
+        sub_pos = _pad_one(pos)[idx]
+        sub_dirs = _pad_one(d_)[idx]
+        _, grads_end, geom_end = sdf_with_gradient(
+            params["sdf"], sub_pos, it, cfg.sdf_model
+        )
+        sub_rgb = rgb_apply(params["rgb"], sub_pos, sub_dirs, grads_end,
+                            geom_end, it, cfg.rgb_model)
+        sub_normals = grads_end / (
+            jnp.linalg.norm(grads_end, axis=-1, keepdims=True) + 1e-12
+        )
+        q = lambda x: jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+        return (idx[None].astype(jnp.int32), q(sub_rgb)[None],
+                q(sub_normals * 0.5 + 0.5)[None], lit[None])
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _render_sphere_traced_dp(
+        params, grid, origins, dirs, n, iter_nr_anneal, cfg, mesh, chunk,
+        lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
+        sdf_multiplier, sdf_converged_tresh, dist_field):
+    """DP drive of the adaptive sphere tracer: rays interleave-sharded over
+    the mesh, trace + shade fully device-side, one compacted uint8 fetch
+    per device slice. Returns flat (rgb, nrm, w) host arrays of length n."""
+    from permuto_sdf_tpu.ops.sphere_trace import (
+        sphere_trace_adaptive_dp, pow2_bucket,
+    )
+    from permuto_sdf_tpu.parallel.render import interleave_shard
+
+    D = mesh.devices.size
+    it = jnp.asarray(iter_nr_anneal)
+    ctx = (params["sdf"], it)
+    full_eval = _make_sdf_eval(cfg.sdf_model, None)
+    round_evals = ()
+    if lod_levels is not None and lod_levels < cfg.nr_levels:
+        march_eval = _make_sdf_eval(cfg.sdf_model, lod_levels)
+        refine_eval, refine_ctx = full_eval, ctx
+        round_evals = (_make_sdf_eval(cfg.sdf_model, max(4, lod_levels // 2)),)
+    else:
+        march_eval, refine_eval, refine_ctx = full_eval, None, None
+
+    grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
+    if grid_cfg is not None and dist_field is None:
+        dist_field = _cached_dist_field(grid_cfg, grid)
+
+    chunk_local = min(chunk, -(-n // D))
+    sc = chunk_local * D
+    pad = (-n) % sc
+    origins = jnp.concatenate(
+        [origins, jnp.tile(jnp.asarray([[10.0, 0.0, 0.0]]), (pad, 1))], 0)
+    dirs = jnp.concatenate(
+        [dirs, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (pad, 1))], 0)
+
+    rgb = np.zeros((n + pad, 3), np.float32)
+    nrm = np.zeros((n + pad, 3), np.float32)
+    w = np.zeros((n + pad,), np.float32)
+    for i in range(0, n + pad, sc):
+        o_sh = interleave_shard(origins[i : i + sc], D)
+        d_sh = interleave_shard(dirs[i : i + sc], D)
+        t_sh, alive_sh, conv_sh, sdf_sh, n_hit_max = sphere_trace_adaptive_dp(
+            mesh, march_eval, ctx, o_sh, d_sh, BOUND, nr_rounds,
+            iters_per_round, sdf_multiplier, sdf_converged_tresh,
+            grid_cfg=grid_cfg, grid=grid, refine_sdf_eval=refine_eval,
+            refine_ctx=refine_ctx, nr_refine_iters=nr_refine_iters,
+            dist_field=dist_field, round_sdf_evals=round_evals,
+        )
+        bucket = pow2_bucket(max(n_hit_max, 1), lo=256,
+                             hi=max(256, chunk_local))
+        idx, rgb_u8, nrm_u8, lit = _make_dp_shade(mesh, cfg, bucket, grid_cfg)(
+            params, grid, o_sh, d_sh, t_sh, conv_sh, alive_sh, it)
+        idx_np = np.asarray(idx)          # [D, bucket] local hit indices
+        rgb_np = np.asarray(rgb_u8)
+        nrm_np = np.asarray(nrm_u8)
+        lit_np = np.asarray(lit)          # [D, chunk_local]
+        for d in range(D):
+            valid = idx_np[d] < chunk_local
+            # interleave layout: local slot c on device d is ray c*D + d
+            rows = i + idx_np[d][valid] * D + d
+            rgb[rows] = rgb_np[d][valid] / 255.0
+            nrm[rows] = nrm_np[d][valid] / 255.0 * 2.0 - 1.0
+        w[i : i + sc] = np.moveaxis(lit_np, 0, 1).reshape(-1)
+    w = w[:n, None]
+    return rgb[:n] * w, nrm[:n] * w, w
+
+
 def render_image_sphere_traced_fast(
         params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
         cfg: PermutoSDFTrainConfig, chunk: int = 1 << 21,
         lod_levels: int | None = 12, nr_rounds: int = 5,
         iters_per_round: int = 3, nr_refine_iters: int = 4,
         sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
-        dist_field=None):
+        dist_field=None, mesh=None):
     """The interactive rendering fast path (reference: "render at
     interactive speeds" via sphere tracing, README.md:19 +
     run_net_sphere_traced, train_permuto_sdf.py:211-242).
@@ -882,7 +1075,13 @@ def render_image_sphere_traced_fast(
     call — pass ``dist_field`` to amortize it across frames of the same
     checkpoint), LOD march on the coarsest ``lod_levels`` encoding levels
     with full-res refinement of the hits, and a shading bucket sized from
-    the true lit count (no silent black holes — every lit ray is shaded)."""
+    the true lit count (no silent black holes — every lit ray is shaded).
+
+    Multi-chip: with more than one visible device (or an explicit ``mesh``)
+    the frame's rays are interleave-sharded over the mesh and traced/shaded
+    SPMD (ops/sphere_trace.sphere_trace_adaptive_dp) — pixel-identical, and
+    the per-frame wall clock divides by ~device_count (the reference's
+    interactive renderer is single-GPU)."""
     from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
     from permuto_sdf_tpu.ops.sphere_trace import (
         sphere_trace_adaptive, pow2_bucket, _grid_distance_field,
@@ -890,6 +1089,18 @@ def render_image_sphere_traced_fast(
 
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]
+
+    if mesh is None and jax.device_count() > 1:
+        from permuto_sdf_tpu.parallel import make_ray_mesh
+
+        mesh = make_ray_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        rgb, nrm, w = _render_sphere_traced_dp(
+            params, grid, origins, dirs, n, iter_nr_anneal, cfg, mesh, chunk,
+            lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
+            sdf_multiplier, sdf_converged_tresh, dist_field)
+        return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
+                w.reshape(height, width, 1))
     # clamp the chunk to the frame's ray count (bucket-ladder granularity):
     # a fixed 2^21 chunk is right for 1080p (2.07M rays) but at lower
     # resolutions the pad-to-chunk would trace up to 13x dummy rays
@@ -1087,8 +1298,16 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                 # reference's `if global_weight_curvature>0` python branch
                 cfg = dataclasses.replace(cfg, enable_curvature=False)
             if cfg.use_occupancy_grid and it % cfg.grid_update_every == 0:
-                grid = occupancy_update(params, grid, k_grid, it_anneal,
-                                        last_inv_s, cfg)
+                if data_parallel:
+                    # probe-point SDF evals sharded over the mesh (the
+                    # update itself is replicated — grid stays bitwise
+                    # identical on every device)
+                    grid = make_dp_occupancy_update(mesh, cfg)(
+                        params, grid, k_grid, jnp.asarray(it_anneal),
+                        last_inv_s)
+                else:
+                    grid = occupancy_update(params, grid, k_grid, it_anneal,
+                                            last_inv_s, cfg)
             if data_parallel:
                 from permuto_sdf_tpu.parallel import dp_keys
 

@@ -128,6 +128,83 @@ def test_train_uses_dp_on_multidevice_mesh():
         leaf.sharding.is_fully_replicated
 
 
+def test_dp_render_image_pixel_identical():
+    """DP rendering (rays sharded over the mesh, params/grid replicated)
+    must be pixel-identical to the single-device path — VERDICT r2 item 1."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    reel = make_synthetic_reel(nr_views=2, width=24, height=24)
+    cfg = _small_cfg(nr_rays=16)
+    params = tps.init_params(jax.random.PRNGKey(5), cfg, reel.nr_images)
+    grid = og.make_occupancy_grid(cfg.grid)
+
+    kwargs = dict(iter_nr_anneal=100, cfg=cfg, chunk=64)
+    mesh1 = make_ray_mesh(1)
+    rgb1, nrm1, a1 = tps.render_image(params, grid, reel.K[0],
+                                      reel.tf_world_cam[0], 24, 24,
+                                      mesh=mesh1, **kwargs)
+    mesh8 = make_ray_mesh()
+    assert mesh8.devices.size == 8
+    rgb8, nrm8, a8 = tps.render_image(params, grid, reel.K[0],
+                                      reel.tf_world_cam[0], 24, 24,
+                                      mesh=mesh8, **kwargs)
+    np.testing.assert_array_equal(np.asarray(rgb1), np.asarray(rgb8))
+    np.testing.assert_array_equal(np.asarray(nrm1), np.asarray(nrm8))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a8))
+    assert np.isfinite(rgb8).all()
+
+
+def test_dp_occupancy_update_matches_single_device():
+    """The mesh-sharded occupancy refresh (probe SDF evals split across
+    devices, update replicated) must reproduce the single-device update."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    mesh = make_ray_mesh()
+    cfg = _small_cfg(nr_rays=16)
+    params = tps.init_params(jax.random.PRNGKey(6), cfg, 2)
+    grid = og.make_occupancy_grid(cfg.grid)
+    key = jax.random.PRNGKey(7)
+    inv_s = jnp.asarray(300.0)
+
+    g_single = tps.occupancy_update(params, grid, key, jnp.asarray(64),
+                                    inv_s, cfg)
+    g_dp = tps.make_dp_occupancy_update(mesh, cfg)(
+        params, grid, key, jnp.asarray(64), inv_s)
+    np.testing.assert_array_equal(np.asarray(g_single.occupancy),
+                                  np.asarray(g_dp.occupancy))
+    np.testing.assert_allclose(np.asarray(g_single.values),
+                               np.asarray(g_dp.values), rtol=1e-5, atol=1e-7)
+
+
+def test_dp_sphere_traced_render_pixel_identical():
+    """The interactive sphere-traced fast path, sharded over the mesh, must
+    match the single-device render exactly: the adaptive tracer never drops
+    rays in either mode, so per-ray trace/shade math is identical."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    reel = make_synthetic_reel(nr_views=2, width=24, height=24)
+    cfg = tps.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=8, nr_rays=32,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+    )
+    params = tps.init_params(jax.random.PRNGKey(0), cfg, reel.nr_images)
+    grid = og.make_occupancy_grid(cfg.grid)
+    kwargs = dict(iter_nr_anneal=1000, cfg=cfg, chunk=256, lod_levels=4)
+    rgb1, nrm1, a1 = tps.render_image_sphere_traced_fast(
+        params, grid, reel.K[0], reel.tf_world_cam[0], 24, 24,
+        mesh=make_ray_mesh(1), **kwargs)
+    rgb8, nrm8, a8 = tps.render_image_sphere_traced_fast(
+        params, grid, reel.K[0], reel.tf_world_cam[0], 24, 24,
+        mesh=make_ray_mesh(), **kwargs)
+    np.testing.assert_array_equal(rgb1, rgb8)
+    np.testing.assert_array_equal(nrm1, nrm8)
+    np.testing.assert_array_equal(a1, a8)
+
+
 def test_one_scene_per_device_concurrent_training():
     from permuto_sdf_tpu.experiments.serial_train import train_one_scene_per_device
     from permuto_sdf_tpu.train import train_permuto_sdf as t
