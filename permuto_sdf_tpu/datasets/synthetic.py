@@ -48,8 +48,36 @@ def scene_color(p, n):
 
 _BG_COLOR = np.array([0.85, 0.9, 0.95], np.float32)
 
+# Finite-radius sky sphere for the textured background mode: far enough
+# outside the r=0.5 foreground bound to be background, close enough that
+# cameras at radius 1.3 see real PARALLAX between views — the signal the
+# NeRF++ 4D background model needs (the reference trains its bg on real
+# DTU backgrounds every run; a constant-color bg gives it zero signal).
+_BG_SPHERE_RADIUS = 4.0
 
-def _render_view(K, tf, width, height, sdf_fn=scene_sdf, n_steps: int = 96):
+
+def bg_color_at(p):
+    """Procedural sky-sphere texture, a smooth function of the 3D hit
+    point (NOT of view direction alone) so it is parallax-bearing and
+    learnable by the inverse-sphere background field."""
+    u = p / _BG_SPHERE_RADIUS
+    r = 0.55 + 0.25 * jnp.sin(3.0 * u[..., 0] + 5.0 * u[..., 1])
+    g = 0.55 + 0.25 * jnp.sin(4.0 * u[..., 1] + 3.0 * u[..., 2] + 1.3)
+    b = 0.60 + 0.25 * jnp.sin(5.0 * u[..., 2] + 4.0 * u[..., 0] + 2.1)
+    bands = 0.12 * jnp.sin(9.0 * u[..., 1])
+    return jnp.clip(jnp.stack([r + bands, g + bands, b], axis=-1), 0.0, 1.0)
+
+
+def _bg_sphere_hit(origins, dirs):
+    """Second (far) intersection of unit rays with the sky sphere."""
+    b = jnp.sum(origins * dirs, axis=-1)
+    c = jnp.sum(origins * origins, axis=-1) - _BG_SPHERE_RADIUS ** 2
+    t = -b + jnp.sqrt(jnp.maximum(b * b - c, 0.0))
+    return origins + t[..., None] * dirs
+
+
+def _render_view(K, tf, width, height, sdf_fn=scene_sdf, n_steps: int = 96,
+                 bg_mode: str = "constant"):
     origins, dirs = rays_from_frame(K, tf, width, height)
 
     def trace(o, d):
@@ -70,7 +98,11 @@ def _render_view(K, tf, width, height, sdf_fn=scene_sdf, n_steps: int = 96):
     p = origins + t[..., None] * dirs
     n = scene_normal(p)
     rgb = scene_color(p, n)
-    rgb = jnp.where(hit[..., None], rgb, jnp.asarray(_BG_COLOR))
+    if bg_mode == "textured":
+        bg = bg_color_at(_bg_sphere_hit(origins, dirs))
+    else:
+        bg = jnp.asarray(_BG_COLOR)
+    rgb = jnp.where(hit[..., None], rgb, bg)
     return (
         np.asarray(rgb).reshape(height, width, 3),
         np.asarray(hit).reshape(height, width, 1).astype(np.float32),
@@ -79,7 +111,8 @@ def _render_view(K, tf, width, height, sdf_fn=scene_sdf, n_steps: int = 96):
 
 def make_synthetic_reel(nr_views: int = 24, width: int = 200, height: int = 200,
                         radius: float = 1.3, fov_deg: float = 32.0,
-                        with_mask: bool = True, sdf_fn=scene_sdf) -> TensorReel:
+                        with_mask: bool = True, sdf_fn=scene_sdf,
+                        bg_mode: str = "constant") -> TensorReel:
     f = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
 
@@ -93,7 +126,8 @@ def make_synthetic_reel(nr_views: int = 24, width: int = 200, height: int = 200,
         th = golden * i
         eye = radius * np.array([r * np.cos(th), zf, r * np.sin(th)])
         tf = look_at_cam_to_world(eye)
-        rgb, mask = _render_view(K, tf, width, height, sdf_fn=sdf_fn)
+        rgb, mask = _render_view(K, tf, width, height, sdf_fn=sdf_fn,
+                                 bg_mode=bg_mode)
         rgbs.append(rgb)
         masks.append(mask)
         Ks.append(K)

@@ -196,3 +196,24 @@ def test_crop_reel_to_sphere_preserves_rays():
     np.testing.assert_allclose(
         np.asarray(cropped.rgb[i]),
         np.asarray(reel.rgb[i])[sy:sy + Hc, sx:sx + Wc], atol=1e-7)
+
+
+def test_textured_background_is_parallax_bearing():
+    """bg_mode="textured" puts a finite-radius procedural sky sphere behind
+    the scene: background pixels must be non-constant within a view AND
+    differ between views (parallax) — the signal the NeRF++ background
+    model trains on (VERDICT r2 item 4)."""
+    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+
+    reel = make_synthetic_reel(nr_views=2, width=32, height=32,
+                               bg_mode="textured")
+    rgb = np.asarray(reel.rgb)
+    mask = np.asarray(reel.mask)[..., 0].astype(bool)
+    bg0, bg1 = rgb[0][~mask[0]], rgb[1][~mask[1]]
+    assert bg0.std() > 0.05 and bg1.std() > 0.05  # textured, not constant
+    # different views see different background statistics (parallax)
+    assert np.abs(bg0.mean(axis=0) - bg1.mean(axis=0)).max() > 0.01
+    # default mode stays the constant color (backward compatibility)
+    reel_c = make_synthetic_reel(nr_views=1, width=32, height=32)
+    bgc = np.asarray(reel_c.rgb[0])[~np.asarray(reel_c.mask[0])[..., 0].astype(bool)]
+    assert bgc.std(axis=0).max() < 1e-5
