@@ -422,7 +422,7 @@ def sphere_trace_adaptive_dp(
 
     ``origins_sh`` / ``dirs_sh`` are PRE-SHARDED [D, R_local, 3] (use
     parallel.render.interleave_shard). Returns the sharded final state
-    ``(t [D,R_local], alive, conv, sdf, n_hit_max)`` — positions are
+    ``(t [D,R_local], alive, conv, sdf, n_alive_max)`` — positions are
     ``origins + t*dirs``; callers shade device-side before unsharding
     (fetching full-frame float state would defeat the DP win)."""
     import jax.numpy as jnp
@@ -454,7 +454,7 @@ def sphere_trace_adaptive_dp(
     per_dev = jnp.sum(alive_f[:, :R_local], axis=1)
     n_active = int(per_dev.sum())
     max_active = int(per_dev.max())  # sizes the first shared bucket
-    n_hit_max = 0
+    n_alive_max = max_active
     for rnd in range(nr_rounds):
         if n_active == 0:
             break
@@ -470,25 +470,29 @@ def sphere_trace_adaptive_dp(
         counts = np.asarray(counts)  # [D, 2]
         n_active = int(counts[:, 0].sum())
         max_active = int(counts[:, 0].max())
-        n_hit_max = int(counts[:, 1].max())
+        n_alive_max = int((counts[:, 0] + counts[:, 1]).max())
 
-    if refine_sdf_eval is not None and n_hit_max > 0:
-        hit_f = conv_f & alive_f
-        bucket = pow2_bucket(n_hit_max, lo=min_bucket,
+    if refine_sdf_eval is not None and n_alive_max > 0:
+        # re-open EVERY alive ray with the full-res field (see the
+        # single-device driver: the reference shades unconverged
+        # in-bounds finals too, so stragglers need full-res ends)
+        open_f = alive_f
+        bucket = pow2_bucket(n_alive_max, lo=min_bucket,
                              hi=max(min_bucket, R_local))
         step = _dp_trace_rounds(mesh, refine_sdf_eval, grid_cfg,
                                 nr_refine_iters, bucket, sdf_multiplier,
                                 sdf_converged_tresh)
         t_f, alive_ref, conv_ref, sdf_f, counts = step(
             refine_ctx, origins_f, dirs_f, texit_f, dist_field,
-            t_f, hit_f, jnp.zeros_like(conv_f), sdf_f, time_val,
+            t_f, open_f, jnp.zeros_like(conv_f), sdf_f, time_val,
         )
-        conv_f = jnp.where(hit_f, conv_ref & alive_ref, conv_f)
-        alive_f = jnp.where(hit_f, alive_ref, alive_f)
-        n_hit_max = int(np.asarray(counts)[:, 1].max())
+        conv_f = jnp.where(open_f, conv_ref & alive_ref, conv_f)
+        alive_f = jnp.where(open_f, alive_ref, alive_f)
+        counts = np.asarray(counts)
+        n_alive_max = int((counts[:, 0] + counts[:, 1]).max())
 
     return (t_f[:, :R_local], alive_f[:, :R_local], conv_f[:, :R_local],
-            sdf_f[:, :R_local], n_hit_max)
+            sdf_f[:, :R_local], n_alive_max)
 
 
 def _padded(x, fill=0.0):
@@ -538,8 +542,9 @@ def sphere_trace_adaptive(
     removing the coarse bias at a fraction of a full-res march.
 
     Returns (pos [R,3], sdf [R], converged [R], within_bounds [R])
-    (+ the converged count when ``return_n_hit``, saving the caller a
-    device round-trip).
+    (+ the ALIVE count when ``return_n_hit`` — the shadeable-ray upper
+    bound: the reference shades every in-bounds final position, converged
+    or not — saving the caller a device round-trip).
     """
     R = ray_origins.shape[0]
     if time_val is not None:
@@ -576,33 +581,40 @@ def sphere_trace_adaptive(
         counts = np.asarray(counts)
         n_active, n_hit = int(counts[0]), int(counts[1])
 
-    if refine_sdf_eval is not None and n_hit > 0:
-        # LOD refinement: re-open the converged set and march it with the
-        # full-resolution field
-        hit_f = conv_f & alive_f
-        bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
+    n_alive = n_active + n_hit
+    if refine_sdf_eval is not None and n_alive > 0:
+        # LOD refinement: re-open EVERY still-alive ray (converged hits AND
+        # not-yet-converged marchers) and march it with the full-resolution
+        # field — hits lose the coarse-LOD bias, stragglers get full-res
+        # steps to land. The reference shades every in-bounds final
+        # position regardless of convergence (train_permuto_sdf.py:215-222
+        # gates weights only on bounds+occupancy), so stragglers must end
+        # at full-res positions too.
+        open_f = alive_f
+        bucket = pow2_bucket(n_alive, lo=min_bucket, hi=max(min_bucket, R))
         t_f, alive_ref, conv_ref, sdf_f, counts = _trace_rounds(
             refine_sdf_eval, refine_ctx, origins_f, dirs_f, texit_f,
-            dist_field, t_f, hit_f, jnp.zeros_like(conv_f), sdf_f,
+            dist_field, t_f, open_f, jnp.zeros_like(conv_f), sdf_f,
             grid_cfg, nr_refine_iters, bucket, sdf_multiplier,
             sdf_converged_tresh, time_val,
         )
-        conv_f = jnp.where(hit_f, conv_ref & alive_ref, conv_f)
-        alive_f = jnp.where(hit_f, alive_ref, alive_f)
-        n_hit = int(np.asarray(counts)[1])
+        conv_f = jnp.where(open_f, conv_ref & alive_ref, conv_f)
+        alive_f = jnp.where(open_f, alive_ref, alive_f)
+        counts = np.asarray(counts)
+        n_hit = int(counts[1])
+        n_alive = int(counts[0]) + n_hit
         final_eval, final_ctx = refine_sdf_eval, refine_ctx
     else:
         final_eval, final_ctx = sdf_eval, ctx
 
     pos_f = origins_f + t_f[:, None] * dirs_f
-    hit_f = conv_f & alive_f
     # final_refresh=False skips the last-position sdf re-evaluation — callers
     # that shade the hits immediately afterwards recompute the sdf anyway
-    if final_refresh and n_hit > 0:
-        bucket = pow2_bucket(n_hit, lo=min_bucket, hi=max(min_bucket, R))
-        sdf_f = _refresh_sdf(final_eval, final_ctx, pos_f, hit_f, sdf_f,
+    if final_refresh and n_alive > 0:
+        bucket = pow2_bucket(n_alive, lo=min_bucket, hi=max(min_bucket, R))
+        sdf_f = _refresh_sdf(final_eval, final_ctx, pos_f, alive_f, sdf_f,
                              bucket, time_val)
 
     out = (pos_f[:R], sdf_f[:R], (conv_f & alive_f)[:R], alive_f[:R])
-    return out + (n_hit,) if return_n_hit else out
+    return out + (n_alive,) if return_n_hit else out
 

@@ -297,13 +297,15 @@ def render_time_sweep(params, cfg: SDFConfig, out_dir: str, nr_times: int = 10,
     light = light / np.linalg.norm(light)
     for i in range(nr_times):
         t = i / max(nr_times - 1, 1)
-        pos, sdf, conv, alive, n_hit = sphere_trace_adaptive(
+        pos, sdf, conv, alive, n_alive = sphere_trace_adaptive(
             eval4, params, origins, dirs, bound, nr_rounds, iters_per_round,
             sdf_converged_tresh=sdf_converged_tresh, time_val=t,
             return_n_hit=True,
         )
+        # conv-gated like the reference's vis_4d path (geometry display);
+        # n_alive >= n_conv still bounds the shade bucket
         lit = conv & alive
-        bucket = pow2_bucket(max(n_hit, 1), lo=256, hi=max(256, width * height))
+        bucket = pow2_bucket(max(n_alive, 1), lo=256, hi=max(256, width * height))
         normals = _shade_normals_4d(params, pos, lit, cfg, bucket,
                                     jnp.float32(t))
         normals = np.asarray(normals).reshape(height, width, 3)

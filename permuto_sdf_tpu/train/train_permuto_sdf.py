@@ -803,7 +803,9 @@ def render_rays_sphere_traced_compacted(
     in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
     if grid_cfg is not None:
         in_bounds = in_bounds & og.check_occupancy(grid_cfg, grid, pos)
-    lit = converged & alive & in_bounds
+    # reference gate: alive + in-bounds/occupied, convergence NOT required
+    # (train_permuto_sdf.py:215-222; see _lit_and_state)
+    lit = alive & in_bounds
 
     # compacted shading: gather the hits, shade, scatter back
     R = origins.shape[0]
@@ -852,10 +854,15 @@ def _make_sdf_eval(sdf_cfg: SDFConfig, max_levels):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "bucket", "grid_cfg"))
 def _lit_and_state(pos, converged, alive, grid, grid_cfg, cfg, bucket=None):
+    """Reference shading gate (train_permuto_sdf.py:215-222): weight 1 for
+    every ALIVE ray whose final position is in bounds and in occupied
+    space — convergence is NOT required. Gating on ``converged`` turned
+    grazing/silhouette rays that ran out of trace steps into black holes
+    inside the GT mask (the r2 5.8 dB sphere-traced PSNR deficit)."""
     in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
     if grid_cfg is not None:
         in_bounds = in_bounds & og.check_occupancy(grid_cfg, grid, pos)
-    return converged & alive & in_bounds
+    return alive & in_bounds
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
@@ -963,7 +970,9 @@ def _make_dp_shade(mesh, cfg: PermutoSDFTrainConfig, bucket: int, grid_cfg):
         in_bounds = BOUND.check_point_inside_primitive(pos)[:, 0]
         if grid_cfg is not None:
             in_bounds = in_bounds & og.check_occupancy(grid_cfg, grid, pos)
-        lit = conv & alive & in_bounds
+        # reference gate: alive + in-bounds/occupied, NOT convergence
+        # (see _lit_and_state)
+        lit = alive & in_bounds
         R = pos.shape[0]
         (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
         sub_pos = _pad_one(pos)[idx]
@@ -1032,14 +1041,14 @@ def _render_sphere_traced_dp(
     for i in range(0, n + pad, sc):
         o_sh = interleave_shard(origins[i : i + sc], D)
         d_sh = interleave_shard(dirs[i : i + sc], D)
-        t_sh, alive_sh, conv_sh, sdf_sh, n_hit_max = sphere_trace_adaptive_dp(
+        t_sh, alive_sh, conv_sh, sdf_sh, n_alive_max = sphere_trace_adaptive_dp(
             mesh, march_eval, ctx, o_sh, d_sh, BOUND, nr_rounds,
             iters_per_round, sdf_multiplier, sdf_converged_tresh,
             grid_cfg=grid_cfg, grid=grid, refine_sdf_eval=refine_eval,
             refine_ctx=refine_ctx, nr_refine_iters=nr_refine_iters,
             dist_field=dist_field, round_sdf_evals=round_evals,
         )
-        bucket = pow2_bucket(max(n_hit_max, 1), lo=256,
+        bucket = pow2_bucket(max(n_alive_max, 1), lo=256,
                              hi=max(256, chunk_local))
         idx, rgb_u8, nrm_u8, lit = _make_dp_shade(mesh, cfg, bucket, grid_cfg)(
             params, grid, o_sh, d_sh, t_sh, conv_sh, alive_sh, it)
@@ -1134,7 +1143,7 @@ def render_image_sphere_traced_fast(
     rgbs, normals, alphas = [], [], []
     for i in range(0, n + pad, chunk):
         o, d = origins[i : i + chunk], dirs[i : i + chunk]
-        pos, sdf, conv, alive, n_hit = sphere_trace_adaptive(
+        pos, sdf, conv, alive, n_alive = sphere_trace_adaptive(
             march_eval, ctx, o, d, BOUND, nr_rounds, iters_per_round,
             sdf_multiplier, sdf_converged_tresh, grid_cfg=grid_cfg, grid=grid,
             refine_sdf_eval=refine_eval, refine_ctx=refine_ctx,
@@ -1143,9 +1152,9 @@ def render_image_sphere_traced_fast(
             final_refresh=False,  # the shading pass re-evaluates the hits
         )
         lit = _lit_and_state(pos, conv, alive, grid, grid_cfg, cfg)
-        # n_hit >= n_lit (lit additionally requires in-bounds+occupied), so
-        # it sizes the shading bucket without another device round-trip
-        bucket = pow2_bucket(max(n_hit, 1), lo=256, hi=max(256, chunk))
+        # n_alive >= n_lit (lit additionally requires in-bounds+occupied),
+        # so it sizes the shading bucket without another device round-trip
+        bucket = pow2_bucket(max(n_alive, 1), lo=256, hi=max(256, chunk))
         idx, rgb_u8, nrm_u8, lit = _shade_hits_compact(
             params, pos, d, lit, it, cfg, bucket)
         # host-side frame reconstruction from the compacted transfer

@@ -347,3 +347,50 @@ def test_checkpoint_load_returns_device_resident_params(tiny_reel, tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(params["sdf"]),
                     jax.tree_util.tree_leaves(p2["sdf"])):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sphere_traced_agrees_with_volumetric(tiny_reel):
+    """Trace-vs-volumetric image agreement (VERDICT r2 item 5): after a
+    sphere fit, both renderers look at the same certain surface, so on
+    pixels where both are confident the colors must agree closely and the
+    coverage masks must overlap. Sharp volumetric variance (0.8 forced)
+    makes the volume render a near-delta at the surface crossing; the
+    reference presents sphere tracing as the faithful interactive render
+    of the same field (sdf_utils.py:120-218)."""
+    import jax.numpy as jnp
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32, nr_iter_sphere_fit=300,
+        sphere_init_points=1024, grid_nr_voxels_per_dim=32,
+        grid_nr_random_samples=4096, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=8, nr_samples_bg=4,
+    )
+    params = t.init_params(jax.random.PRNGKey(1), cfg, tiny_reel.nr_images)
+    optimizer = t.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    for it in range(cfg.nr_iter_sphere_fit):
+        params, opt_state, _ = t.sphere_init_step(
+            params, opt_state, jax.random.PRNGKey(it), it, cfg, optimizer)
+    grid = og.make_occupancy_grid(cfg.grid)
+    grid = t.occupancy_update(params, grid, jax.random.PRNGKey(9),
+                              jnp.asarray(1000), jnp.asarray(2981.0), cfg)
+
+    W = H = 32
+    rgb_v, _, a_v = t.render_image(
+        params, grid, tiny_reel.K[0], tiny_reel.tf_world_cam[0], W, H,
+        10000, cfg, forced_variance=0.8, chunk=256)
+    rgb_s, _, a_s = t.render_image_sphere_traced_fast(
+        params, grid, tiny_reel.K[0], tiny_reel.tf_world_cam[0], W, H,
+        10000, cfg, chunk=1024, lod_levels=None)
+
+    av = np.asarray(a_v).reshape(H, W) > 0.5
+    as_ = np.asarray(a_s).reshape(H, W) > 0.5
+    inter = np.logical_and(av, as_).sum()
+    union = np.logical_or(av, as_).sum()
+    assert union > 40  # the sphere fills a real part of the frame
+    assert inter / union > 0.8, (inter, union)
+    both = np.logical_and(av, as_)
+    diff = np.abs(np.asarray(rgb_v)[both] - np.asarray(rgb_s)[both]).mean()
+    assert diff < 0.1, diff
