@@ -53,6 +53,64 @@ def load_K_Rt_from_P(P: np.ndarray):
     return K.astype(np.float32), pose
 
 
+def export_dtu_scene(reel: TensorReel, out_dir: str,
+                     scene_scale_multiplier: float = 0.4,
+                     scale: float = 2.0,
+                     center=(0.03, -0.02, 0.05)) -> str:
+    """Write a :class:`TensorReel` to the DTU/IDR on-disk layout
+    (``image/%06d.png``, ``mask/%06d.png``, ``cameras.npz`` with
+    ``world_mat_%d``/``scale_mat_%d``) such that
+    ``load_dtu_scene(out_dir, scene_scale_multiplier=...)`` reproduces the
+    reel (images to 8-bit precision, cameras to float precision).
+
+    This is the inverse of the reference pipeline's dataset preparation
+    (``create_my_meshes.py:61-86`` builds world_mat = K [R|t] from frames;
+    scale_mat normalizes the scene into the unit sphere): cameras are
+    stored in a "raw capture" world frame derived from the reel's by a
+    deliberately NON-trivial ``scale_mat`` (uniform ``scale`` + ``center``
+    offset), so a roundtrip exercises the full world_mat @ scale_mat
+    composite and the ``scene_scale_multiplier`` shrink, not just an
+    identity path. Used to prove the real-data chain end-to-end without
+    DTU bytes in the environment.
+    """
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.join(out_dir, "image"), exist_ok=True)
+    has_mask = reel.mask is not None
+    if has_mask:
+        os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
+
+    # scale_mat: normalized-world -> raw-world (x_raw = s * x_n + c)
+    scale_mat = np.eye(4, dtype=np.float64)
+    scale_mat[0, 0] = scale_mat[1, 1] = scale_mat[2, 2] = scale
+    scale_mat[:3, 3] = np.asarray(center, np.float64)
+
+    cams = {}
+    rgb = np.asarray(reel.rgb)
+    Ks = np.asarray(reel.K)
+    tfs = np.asarray(reel.tf_world_cam)
+    for i in range(reel.nr_images):
+        img8 = np.clip(np.round(rgb[i] * 255.0), 0, 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(out_dir, "image", f"{i:06d}.png"), img8)
+        if has_mask:
+            m8 = (np.asarray(reel.mask)[i, ..., 0] > 0.5).astype(np.uint8) * 255
+            imageio.imwrite(os.path.join(out_dir, "mask", f"{i:06d}.png"), m8)
+
+        # the loader multiplies the decomposed camera centre by
+        # scene_scale_multiplier — store poses in the pre-shrink frame
+        pose_n = tfs[i].astype(np.float64).copy()
+        pose_n[:3, 3] /= scene_scale_multiplier
+        K4 = np.eye(4, dtype=np.float64)
+        K4[:3, :3] = Ks[i]
+        # world_mat @ scale_mat must equal K [R|t] of the normalized world
+        world_mat = K4 @ np.linalg.inv(pose_n) @ np.linalg.inv(scale_mat)
+        cams[f"world_mat_{i}"] = world_mat
+        cams[f"scale_mat_{i}"] = scale_mat
+
+    np.savez(os.path.join(out_dir, "cameras.npz"), **cams)
+    return out_dir
+
+
 def load_dtu_scene(scene_dir: str, low_res: bool = False, with_mask: bool = True,
                    scene_scale_multiplier: float = 0.4,
                    subsample: int | None = None) -> TensorReel:

@@ -55,7 +55,7 @@ def clean_points_by_mask(points: np.ndarray, world_mats: np.ndarray,
     offset and the mask is padded with an "inside" border, so vertices
     projecting just off-frame survive (evaluate_chamfer_distance.py:121-139).
     """
-    points = np.asarray(points, np.float64)
+    points = np.asarray(points, np.float64).reshape(-1, 3)
     inside = np.ones(len(points), bool)
     for P, mask in zip(world_mats, masks):
         P = np.asarray(P, np.float64)

@@ -17,6 +17,15 @@ import os
 import numpy as np
 
 
+def _train_cfg(args):
+    from permuto_sdf_tpu.config import load_config
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+
+    return load_config(tps.PermutoSDFTrainConfig,
+                       getattr(args, "config", None),
+                       getattr(args, "overrides", None))
+
+
 def cmd_create_mesh(args):
     import jax
     from permuto_sdf_tpu.train import train_permuto_sdf as tps
@@ -24,7 +33,7 @@ def cmd_create_mesh(args):
     from permuto_sdf_tpu.ops.marching_cubes import extract_mesh_from_sdf_fn
     from permuto_sdf_tpu.datasets.mesh_io import Mesh, save_obj
 
-    cfg = tps.PermutoSDFTrainConfig()
+    cfg = _train_cfg(args)
     params, grid = tps.load_from_checkpoint(args.ckpt, cfg)
 
     @jax.jit
@@ -40,7 +49,7 @@ def cmd_render_images(args):
     from permuto_sdf_tpu.train import train_permuto_sdf as tps
     from permuto_sdf_tpu.datasets.dtu import load_dtu_scene
 
-    cfg = tps.PermutoSDFTrainConfig()
+    cfg = _train_cfg(args)
     params, grid = tps.load_from_checkpoint(args.ckpt, cfg)
     reel = load_dtu_scene(args.scene_dir, low_res=args.low_res)
     os.makedirs(args.out_dir, exist_ok=True)
@@ -147,10 +156,19 @@ def main():
     parser = argparse.ArgumentParser(description="Evaluation tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
+    def _cfg_args(p):
+        p.add_argument("--config", default=None,
+                       help="hjson-style trainer config the checkpoint was "
+                            "trained with (shape must match)")
+        p.add_argument("--set", action="append", default=[],
+                       metavar="KEY=VALUE", dest="overrides",
+                       help="config override, repeatable")
+
     p = sub.add_parser("create_mesh")
     p.add_argument("--ckpt", required=True, help="checkpoint models dir")
     p.add_argument("--res", type=int, default=700)
     p.add_argument("--out", required=True)
+    _cfg_args(p)
     p.set_defaults(fn=cmd_create_mesh)
 
     p = sub.add_parser("render_images")
@@ -158,6 +176,7 @@ def main():
     p.add_argument("--scene_dir", required=True)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--low_res", action="store_true")
+    _cfg_args(p)
     p.set_defaults(fn=cmd_render_images)
 
     p = sub.add_parser("chamfer")

@@ -60,6 +60,8 @@ class SDFConfig:
     # of 2 — see ops/permuto_encoding.py). Master table stays f32; forward
     # values round to bf16. Forward-mode AD needs the unpacked path.
     table_bf16: bool = True
+    # sorted-scatter backward for the packed gathers (finding 18 A/B)
+    sorted_scatter: bool = False
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -70,6 +72,7 @@ class SDFConfig:
             concat_points=True,
             concat_points_scaling=1e-3,  # models.py:149
             packed_bf16=self.table_bf16 and self.gradient_mode != "forward",
+            sorted_scatter=self.sorted_scatter,
         )
 
 
@@ -209,6 +212,7 @@ class RGBConfig:
     nr_levels: int = 24
     sh_degree: int = 5  # 25 channels (models.py:373)
     table_bf16: bool = True
+    sorted_scatter: bool = False
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -219,6 +223,7 @@ class RGBConfig:
             concat_points=True,
             concat_points_scaling=1.0,  # models.py:333
             packed_bf16=self.table_bf16,
+            sorted_scatter=self.sorted_scatter,
         )
 
     @property
@@ -277,6 +282,7 @@ class NerfHashConfig:
     nr_feat_for_rgb: int = 64
     sh_degree: int = 4  # 16 channels (models.py:503)
     table_bf16: bool = True
+    sorted_scatter: bool = False
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -287,6 +293,7 @@ class NerfHashConfig:
             concat_points=True,
             concat_points_scaling=1.0,
             packed_bf16=self.table_bf16,
+            sorted_scatter=self.sorted_scatter,
         )
 
 

@@ -153,6 +153,10 @@ class PermutoSDFTrainConfig:
     enable_eikonal: bool = True
     enable_offsurface: bool = True
     enable_lipshitz: bool = True
+    # Sorted-scatter backward for the packed hash-table gathers: one
+    # explicit multi-payload sort + indices_are_sorted segment-sums per
+    # VJP instead of XLA's per-scatter internal sort (finding 18 A/B).
+    sorted_scatter: bool = False
 
     @property
     def iter_finish_reduce_curv(self) -> int:
@@ -165,6 +169,7 @@ class PermutoSDFTrainConfig:
             nr_iters_for_c2f=self.sdf_nr_iters_for_c2f,
             capacity=self.capacity, nr_levels=self.nr_levels,
             gradient_mode=self.sdf_gradient_mode,
+            sorted_scatter=self.sorted_scatter,
         )
 
     @property
@@ -173,6 +178,7 @@ class PermutoSDFTrainConfig:
             in_channels=3, geom_feat_size_in=self.sdf_geom_feat_size,
             nr_iters_for_c2f=self.rgb_nr_iters_for_c2f,
             capacity=self.capacity, nr_levels=self.nr_levels,
+            sorted_scatter=self.sorted_scatter,
         )
 
     @property
@@ -180,6 +186,7 @@ class PermutoSDFTrainConfig:
         return NerfHashConfig(
             in_channels=4, nr_iters_for_c2f=self.background_nr_iters_for_c2f,
             capacity=self.capacity, nr_levels=self.nr_levels,
+            sorted_scatter=self.sorted_scatter,
         )
 
     @property
@@ -1073,7 +1080,7 @@ def render_image_sphere_traced_fast(
         lod_levels: int | None = 12, nr_rounds: int = 5,
         iters_per_round: int = 3, nr_refine_iters: int = 4,
         sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
-        dist_field=None, mesh=None):
+        dist_field=None, mesh=None, lod_schedule: tuple | None = None):
     """The interactive rendering fast path (reference: "render at
     interactive speeds" via sphere tracing, README.md:19 +
     run_net_sphere_traced, train_permuto_sdf.py:211-242).
@@ -1127,7 +1134,13 @@ def render_image_sphere_traced_fast(
     ctx = (params["sdf"], it)
     full_eval = _make_sdf_eval(cfg.sdf_model, None)
     round_evals = ()
-    if lod_levels is not None and lod_levels < cfg.nr_levels:
+    if lod_schedule is not None:
+        # explicit per-round LOD ramp (last entry repeats); full-res refine
+        march_eval = _make_sdf_eval(cfg.sdf_model, lod_schedule[-1])
+        refine_eval, refine_ctx = full_eval, ctx
+        round_evals = tuple(_make_sdf_eval(cfg.sdf_model, l)
+                            for l in lod_schedule)
+    elif lod_levels is not None and lod_levels < cfg.nr_levels:
         march_eval = _make_sdf_eval(cfg.sdf_model, lod_levels)
         refine_eval, refine_ctx = full_eval, ctx
         # round 0 runs at an even coarser LOD: it is the only round that

@@ -419,3 +419,43 @@ def test_shift_per_level_is_frozen():
     g = jax.grad(lambda p: permuto_encode(p, pts, spec).sum())(params)
     assert np.all(np.asarray(g["shift_per_level"]) == 0.0)
     assert np.any(np.asarray(g["lattice_values"]) != 0.0)
+
+
+def test_sorted_scatter_backward_matches_default():
+    """`sorted_scatter=True` (one explicit multi-payload sort feeding two
+    indices_are_sorted segment-sums in the VJP, finding 18) must be a pure
+    performance variant: forward values identical, table gradients equal
+    up to f32 summation-order noise, and double backprop intact."""
+    kw = dict(pos_dim=3, capacity=2 ** 12, nr_levels=6, nr_feat_per_level=2,
+              concat_points=True, concat_points_scaling=1.0,
+              packed_bf16=True)
+    spec_d = PermutoEncodingSpec(sorted_scatter=False, **kw)
+    spec_s = PermutoEncodingSpec(sorted_scatter=True, **kw)
+    params = init_encoding_params(jax.random.PRNGKey(0), spec_d)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (513, 3), minval=-0.5,
+                             maxval=0.5)
+    np.testing.assert_array_equal(
+        np.asarray(permuto_encode(params, pts, spec_d)),
+        np.asarray(permuto_encode(params, pts, spec_s)))
+
+    cot = jax.random.normal(jax.random.PRNGKey(2), (513, spec_d.output_dims))
+
+    def loss(p, spec):
+        return jnp.sum(permuto_encode(p, pts, spec) * cot)
+
+    g_d = jax.grad(loss)(params, spec_d)["lattice_values"]
+    g_s = jax.grad(loss)(params, spec_s)["lattice_values"]
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=1e-5, atol=1e-10)
+
+    # double backprop (eikonal-style): grad wrt points of a grad-norm loss
+    def eik(p, spec):
+        def f(x):
+            return jnp.sum(permuto_encode(p, x[None], spec))
+        g = jax.vmap(jax.grad(f))(pts)
+        return jnp.sum(g ** 2)
+
+    gg_d = jax.grad(eik)(params, spec_d)["lattice_values"]
+    gg_s = jax.grad(eik)(params, spec_s)["lattice_values"]
+    np.testing.assert_allclose(np.asarray(gg_s), np.asarray(gg_d),
+                               rtol=1e-4, atol=1e-8)
