@@ -1,19 +1,23 @@
 """Sphere-traced 1080p frame time on the TRAINED flagship checkpoint
-(VERDICT r2 item 6: 9.4 s -> target <= 3 s single-chip).
+(VERDICT r2 item 6).
 
-Renders warm 1920x1080 frames (small camera motion between frames, like
-the viewer) under a settings matrix:
-- v0 defaults (5 rounds x 3 iters, round0 LOD6, march LOD12, refine 4)
-- v1 fewer host syncs (3 rounds x 5 iters — each round's count fetch is a
-  ~113 ms transport round-trip + pipeline bubble)
-- v2 LOD ramp (4,6,8,12) — early rounds carry most rays, so their
-  per-point encode cost dominates; fine levels only once the survivors
-  are near the surface
-- v3 = v1 + v2 combined
+History of the operating point (all on the same full_run 30k checkpoint):
+- r2 recorded 9.4 s/frame — but with the convergence-gated shading bug
+  (27.8 dB fg): unconverged silhouette rays were skipped, i.e. it was
+  fast partly by not doing the work.
+- reference shading semantics (every alive in-bounds ray shaded,
+  train_permuto_sdf.py:215-222) costs more: 16.5 s at the r2 settings,
+  39.3 dB.
+- chained empty-space jumps (jump_substeps=4: four 1-gather Chebyshev
+  jumps per SDF eval — rays grazing the occupied shell no longer crawl)
+  plus a 16-jump zero-SDF-eval prepass (miss rays die without ever
+  evaluating the SDF; round 0's bucket holds only shell-parked rays):
+  10.6 s, 40.3 dB (jumps also cure crawl-stall -> quality UP).
 
-Each variant renders 3 warm frames; the winner's settings + time go into
-bench_st_1080p.json, and its 200^2 fg PSNR on the held-out view is
-checked against the diagnosis number so speed never silently buys quality.
+Protocol: two passes over the same 4-eye orbit; pass 2 has every
+host-adaptive bucket size compiled, so its times are the honest warm
+number (per-frame active-ray counts differ per eye, so pass 1 can hit
+per-bucket-size compiles). A 200^2 held-out fg PSNR guards quality.
 """
 import sys, os, time, json
 sys.path.insert(0, "/root/repo")
@@ -37,16 +41,11 @@ W, H = 1920, 1080
 f = 0.5 * W / np.tan(np.radians(32.0) / 2)
 K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
 
-variants = {
-    "v0_defaults": {},
-    "v1_3x5_rounds": {"nr_rounds": 3, "iters_per_round": 5},
-    "v2_lod_ramp": {"lod_schedule": (4, 6, 8, 12)},
-    "v3_ramp_3x5": {"nr_rounds": 3, "iters_per_round": 5,
-                    "lod_schedule": (4, 8, 12)},
-}
+WINNER = {"nr_rounds": 3, "iters_per_round": 5, "jump_substeps": 4,
+          "prepass_jumps": 16}
 
-results = {}
-for name, kw in variants.items():
+passes = []
+for p in range(2):
     times = []
     for i in range(4):
         eye = 1.3 * np.array([np.cos(0.1 * i), 0.35, np.sin(0.1 * i)])
@@ -54,16 +53,12 @@ for name, kw in variants.items():
         t0 = time.perf_counter()
         rgb, nrm, a = tps.render_image_sphere_traced_fast(
             params, grid, K, tf, W, H, 9_999_999, cfg,
-            dist_field=dist_field, **kw)
+            dist_field=dist_field, **WINNER)
         times.append(round(time.perf_counter() - t0, 2))
-    warm = float(np.median(times[1:]))
-    results[name] = {"frame_seconds": times, "warm": warm,
-                     "hit_frac": round(float(np.asarray(a).mean()), 4)}
-    print(name, json.dumps(results[name]), flush=True)
+    passes.append(times)
+    print("pass", p, times, flush=True)
 
-best = min(results, key=lambda k: results[k]["warm"])
 
-# quality check of the winner at 200^2 on the held-out view i8.5
 def heldout_view(i_frac, width=200, height=200, radius=1.3, fov_deg=32.0,
                  nr_views=24):
     fv = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
@@ -82,19 +77,33 @@ gt, mask = syn._render_view(Kv, tfv, 200, 200)
 m = mask.astype(bool).reshape(200, 200)
 rgb_q, _, _ = tps.render_image_sphere_traced_fast(
     params, grid, Kv, tfv, 200, 200, 9_999_999, cfg,
-    dist_field=dist_field, **variants[best])
+    dist_field=dist_field, **WINNER)
 mse = float(np.mean((rgb_q[m] - np.asarray(gt)[m]) ** 2))
 psnr_best = float(10 * np.log10(1.0 / max(mse, 1e-12)))
 
 out = {
     "resolution": f"{W}x{H}",
     "checkpoint": "full_run 30k (trained flagship)",
-    "variants": results,
-    "winner": best,
-    "winner_settings": variants[best],
-    "warm_frame_seconds": results[best]["warm"],
+    "winner_settings": WINNER,
+    "passes": passes,
+    "warm_frame_seconds": float(np.median(passes[1])),
     "winner_psnr_foreground_200sq_i8.5": round(psnr_best, 2),
-    "r2_reference_point": 9.4,
+    "ab_history": {
+        "r2_9.4s": "convergence-gated shading bug (27.8 dB) — not comparable",
+        "ref_shading_jump1_3x5": {"warm_s": 16.5, "psnr_fg": 39.29},
+        "jump4_3x5": {"warm_s": 12.7, "psnr_fg": 40.63},
+        "jump4_prepass16_3x5": {"warm_s": 10.6, "psnr_fg": 40.33},
+        "jump8_2x5_ref3": {"warm_s": 15.1, "psnr_fg": 36.02,
+                           "note": "too few SDF iters hurts both"},
+    },
+    "single_chip_floor_note": (
+        "gather-instance-bound (PERFORMANCE.md findings 14/19): "
+        "~740k lit rays x ~300 gather-instances each for final "
+        "grad+RGB shading alone is ~1.6 s at the measured 7.2 ns/instance; "
+        "march+refine of the hit set adds ~5-7 s. <=3 s single-chip needs "
+        "~5x fewer instances than the algorithm requires at this quality; "
+        "the v5e-8 DP render path (rays interleave-sharded, built r3) "
+        "divides the per-frame ray work by the chip count."),
 }
 with open(os.path.join(OUT, "bench_st_1080p.json"), "w") as fj:
     json.dump(out, fj, indent=1)

@@ -301,11 +301,20 @@ def _grid_distance_field(grid_cfg, grid):
 def _trace_rounds_impl(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
                        t_f, alive_f, conv_f, sdf_f, grid_cfg,
                        iters: int, bucket: int, sdf_multiplier: float,
-                       sdf_converged_tresh: float, time_val):
+                       sdf_converged_tresh: float, time_val,
+                       jump_substeps: int = 1):
     """``iters`` trace steps on a host-sized bucket of active rays; state is
     the per-ray t along the ray. Empty-space skipping reads the grid's
     Chebyshev distance field (og.chebyshev_empty_distance): ONE gather per
-    ray per step, grid-resident, no per-frame precomputation. Returns the
+    ray per jump, grid-resident, no per-frame precomputation.
+
+    ``jump_substeps`` chains that many distance-field jumps after each SDF
+    step (each individually safe: a fresh gather at the jumped-to position
+    bounds the next advance). A jump costs 1 gather/ray vs 48-96 for an
+    SDF eval, and rays whose path grazes the occupied shell have small
+    Chebyshev clearances — with one jump per eval they crawl (measured:
+    1.41M of 2.07M rays still active after five LOD6 evals at 1080p);
+    chained jumps let them cross the graze in one iteration. Returns the
     updated full-size state + counts (active, converged) — the only values
     the host fetches."""
     R = t_f.shape[0] - 1
@@ -328,12 +337,19 @@ def _trace_rounds_impl(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
         t_new = t + s * sdf_multiplier
         if grid_cfg is not None and dist_field is not None:
             # a voxel at Chebyshev distance k to occupancy allows a safe
-            # (k-1)-voxel advance along any direction (L2 >= L-inf)
-            p_new = o + t_new[:, None] * d
-            k = og.empty_distance_at(grid_cfg, dist_field, p_new,
-                                     _EMPTY_DIST_CAP)
-            t_new = t_new + jnp.maximum(k - 1, 0).astype(t.dtype) \
-                * grid_cfg.voxel_size
+            # (k-1)-voxel advance along any direction (L2 >= L-inf);
+            # k <= 1 (at or adjacent to occupancy) advances 0, so extra
+            # substeps are idempotent near the shell
+            def _jump(_, t_cur):
+                p_new = o + t_cur[:, None] * d
+                k = og.empty_distance_at(grid_cfg, dist_field, p_new,
+                                         _EMPTY_DIST_CAP)
+                jump = jnp.maximum(k - 1, 0).astype(t_cur.dtype) \
+                    * grid_cfg.voxel_size
+                return jnp.where(act, t_cur + jump, t_cur)
+
+            t_new = jnp.where(act, t_new, t)
+            t_new = jax.lax.fori_loop(0, jump_substeps, _jump, t_new)
         dead = t_new > t_exit
         sub_alive = sub_alive & (sub_conv | ~dead)
         t = jnp.where(act, t_new, t)
@@ -352,7 +368,32 @@ def _trace_rounds_impl(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
 # paying a recompile per frame.
 _trace_rounds = functools.partial(jax.jit, static_argnames=(
     "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
-    "sdf_converged_tresh"))(_trace_rounds_impl)
+    "sdf_converged_tresh", "jump_substeps"))(_trace_rounds_impl)
+
+
+def _jump_prepass_impl(dist_field, origins_f, dirs_f, texit_f, t_f, alive_f,
+                       grid_cfg, jumps: int):
+    """``jumps`` chained Chebyshev empty-space jumps on EVERY ray, zero SDF
+    evaluations: each ray either parks at the occupied shell (k <= 1, jump
+    0 — idempotent) or exits the bound and dies. One gather per ray per
+    jump — ~50x cheaper than an SDF eval — so round 0's bucket is sized
+    from true shell-parked survivors instead of every bound-hitting ray,
+    and pure-miss rays never evaluate the SDF at all (the TPU analog of
+    the reference's DDA pre-traversal, RaySamplerGPU.cuh:42-74)."""
+    def body(_, t):
+        pos = origins_f + t[:, None] * dirs_f
+        k = og.empty_distance_at(grid_cfg, dist_field, pos, _EMPTY_DIST_CAP)
+        jump = jnp.maximum(k - 1, 0).astype(t.dtype) * grid_cfg.voxel_size
+        return jnp.where(alive_f, t + jump, t)
+
+    t_f = jax.lax.fori_loop(0, jumps, body, t_f)
+    alive_f = alive_f & (t_f <= texit_f)
+    R = t_f.shape[0] - 1
+    return t_f, alive_f, jnp.sum(alive_f[:R])
+
+
+_jump_prepass = functools.partial(jax.jit, static_argnames=(
+    "grid_cfg", "jumps"))(_jump_prepass_impl)
 
 
 def _refresh_sdf_impl(sdf_eval, ctx, pos_f, mask_f, sdf_f, bucket: int,
@@ -386,7 +427,8 @@ _refresh_sdf = functools.partial(jax.jit, static_argnames=(
 
 @functools.lru_cache(maxsize=None)
 def _dp_trace_rounds(mesh, sdf_eval, grid_cfg, iters: int, bucket: int,
-                     sdf_multiplier: float, sdf_converged_tresh: float):
+                     sdf_multiplier: float, sdf_converged_tresh: float,
+                     jump_substeps: int = 1):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     from permuto_sdf_tpu.parallel.mesh import RAY_AXIS
@@ -397,6 +439,7 @@ def _dp_trace_rounds(mesh, sdf_eval, grid_cfg, iters: int, bucket: int,
             sdf_eval, ctx, origins_f[0], dirs_f[0], texit_f[0], dist_field,
             t_f[0], alive_f[0], conv_f[0], sdf_f[0], grid_cfg, iters, bucket,
             sdf_multiplier, sdf_converged_tresh, time_val,
+            jump_substeps=jump_substeps,
         )
         return t[None], alive[None], conv[None], sdf[None], counts[None]
 
@@ -410,6 +453,28 @@ def _dp_trace_rounds(mesh, sdf_eval, grid_cfg, iters: int, bucket: int,
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=None)
+def _dp_jump_prepass(mesh, grid_cfg, jumps: int):
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from permuto_sdf_tpu.parallel.mesh import RAY_AXIS
+
+    def body(dist_field, origins_f, dirs_f, texit_f, t_f, alive_f):
+        t, alive, n = _jump_prepass_impl(
+            dist_field, origins_f[0], dirs_f[0], texit_f[0], t_f[0],
+            alive_f[0], grid_cfg, jumps)
+        return t[None], alive[None], n[None]
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS),) * 3,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def sphere_trace_adaptive_dp(
     mesh, sdf_eval, ctx, origins_sh, dirs_sh, boundary_primitive,
     nr_rounds: int = 5, iters_per_round: int = 3,
@@ -417,6 +482,7 @@ def sphere_trace_adaptive_dp(
     grid_cfg=None, grid=None, time_val=None,
     refine_sdf_eval=None, refine_ctx=None, nr_refine_iters: int = 3,
     min_bucket: int = 256, dist_field=None, round_sdf_evals: tuple = (),
+    jump_substeps: int = 1, prepass_jumps: int = 0,
 ):
     """:func:`sphere_trace_adaptive` over a device mesh.
 
@@ -451,7 +517,13 @@ def sphere_trace_adaptive_dp(
     conv_f = jnp.zeros((D, R_local + 1), bool)
     sdf_f = jnp.zeros((D, R_local + 1), jnp.float32)
 
-    per_dev = jnp.sum(alive_f[:, :R_local], axis=1)
+    if prepass_jumps > 0 and dist_field is not None:
+        t_f, alive_f, per_dev = _dp_jump_prepass(
+            mesh, grid_cfg, prepass_jumps)(
+            dist_field, origins_f, dirs_f, texit_f, t_f, alive_f)
+        per_dev = np.asarray(per_dev)
+    else:
+        per_dev = jnp.sum(alive_f[:, :R_local], axis=1)
     n_active = int(per_dev.sum())
     max_active = int(per_dev.max())  # sizes the first shared bucket
     n_alive_max = max_active
@@ -462,7 +534,8 @@ def sphere_trace_adaptive_dp(
         bucket = pow2_bucket(max(max_active, 1), lo=min_bucket,
                              hi=max(min_bucket, R_local))
         step = _dp_trace_rounds(mesh, ev, grid_cfg, iters_per_round, bucket,
-                                sdf_multiplier, sdf_converged_tresh)
+                                sdf_multiplier, sdf_converged_tresh,
+                                jump_substeps)
         t_f, alive_f, conv_f, sdf_f, counts = step(
             ctx, origins_f, dirs_f, texit_f, dist_field,
             t_f, alive_f, conv_f, sdf_f, time_val,
@@ -481,7 +554,7 @@ def sphere_trace_adaptive_dp(
                              hi=max(min_bucket, R_local))
         step = _dp_trace_rounds(mesh, refine_sdf_eval, grid_cfg,
                                 nr_refine_iters, bucket, sdf_multiplier,
-                                sdf_converged_tresh)
+                                sdf_converged_tresh, jump_substeps)
         t_f, alive_ref, conv_ref, sdf_f, counts = step(
             refine_ctx, origins_f, dirs_f, texit_f, dist_field,
             t_f, open_f, jnp.zeros_like(conv_f), sdf_f, time_val,
@@ -519,6 +592,8 @@ def sphere_trace_adaptive(
     return_n_hit: bool = False,
     round_sdf_evals: tuple = (),  # optional per-round eval override (LOD schedule)
     final_refresh: bool = True,
+    jump_substeps: int = 1,      # chained empty-space jumps per SDF eval
+    prepass_jumps: int = 0,      # jump-only prepass before round 0
 ):
     """Sphere tracing with HOST-adaptive static-shape compaction.
 
@@ -566,7 +641,13 @@ def sphere_trace_adaptive(
     conv_f = jnp.zeros(R + 1, bool)
     sdf_f = jnp.zeros(R + 1, jnp.float32)
 
-    n_active = int(jnp.sum(alive_f[:R]))
+    if prepass_jumps > 0 and dist_field is not None:
+        t_f, alive_f, n_act = _jump_prepass(
+            dist_field, origins_f, dirs_f, texit_f, t_f, alive_f,
+            grid_cfg, prepass_jumps)
+        n_active = int(n_act)
+    else:
+        n_active = int(jnp.sum(alive_f[:R]))
     n_hit = 0
     for rnd in range(nr_rounds):
         if n_active == 0:
@@ -577,6 +658,7 @@ def sphere_trace_adaptive(
             ev, ctx, origins_f, dirs_f, texit_f, dist_field,
             t_f, alive_f, conv_f, sdf_f, grid_cfg, iters_per_round, bucket,
             sdf_multiplier, sdf_converged_tresh, time_val,
+            jump_substeps=jump_substeps,
         )
         counts = np.asarray(counts)
         n_active, n_hit = int(counts[0]), int(counts[1])
@@ -596,7 +678,7 @@ def sphere_trace_adaptive(
             refine_sdf_eval, refine_ctx, origins_f, dirs_f, texit_f,
             dist_field, t_f, open_f, jnp.zeros_like(conv_f), sdf_f,
             grid_cfg, nr_refine_iters, bucket, sdf_multiplier,
-            sdf_converged_tresh, time_val,
+            sdf_converged_tresh, time_val, jump_substeps=jump_substeps,
         )
         conv_f = jnp.where(open_f, conv_ref & alive_ref, conv_f)
         alive_f = jnp.where(open_f, alive_ref, alive_f)

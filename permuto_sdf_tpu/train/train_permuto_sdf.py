@@ -1009,7 +1009,8 @@ def _make_dp_shade(mesh, cfg: PermutoSDFTrainConfig, bucket: int, grid_cfg):
 def _render_sphere_traced_dp(
         params, grid, origins, dirs, n, iter_nr_anneal, cfg, mesh, chunk,
         lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
-        sdf_multiplier, sdf_converged_tresh, dist_field):
+        sdf_multiplier, sdf_converged_tresh, dist_field,
+        jump_substeps: int = 4, prepass_jumps: int = 16):
     """DP drive of the adaptive sphere tracer: rays interleave-sharded over
     the mesh, trace + shade fully device-side, one compacted uint8 fetch
     per device slice. Returns flat (rgb, nrm, w) host arrays of length n."""
@@ -1054,6 +1055,7 @@ def _render_sphere_traced_dp(
             grid_cfg=grid_cfg, grid=grid, refine_sdf_eval=refine_eval,
             refine_ctx=refine_ctx, nr_refine_iters=nr_refine_iters,
             dist_field=dist_field, round_sdf_evals=round_evals,
+            jump_substeps=jump_substeps, prepass_jumps=prepass_jumps,
         )
         bucket = pow2_bucket(max(n_alive_max, 1), lo=256,
                              hi=max(256, chunk_local))
@@ -1080,7 +1082,8 @@ def render_image_sphere_traced_fast(
         lod_levels: int | None = 12, nr_rounds: int = 5,
         iters_per_round: int = 3, nr_refine_iters: int = 4,
         sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
-        dist_field=None, mesh=None, lod_schedule: tuple | None = None):
+        dist_field=None, mesh=None, lod_schedule: tuple | None = None,
+        jump_substeps: int = 4, prepass_jumps: int = 16):
     """The interactive rendering fast path (reference: "render at
     interactive speeds" via sphere tracing, README.md:19 +
     run_net_sphere_traced, train_permuto_sdf.py:211-242).
@@ -1114,7 +1117,8 @@ def render_image_sphere_traced_fast(
         rgb, nrm, w = _render_sphere_traced_dp(
             params, grid, origins, dirs, n, iter_nr_anneal, cfg, mesh, chunk,
             lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
-            sdf_multiplier, sdf_converged_tresh, dist_field)
+            sdf_multiplier, sdf_converged_tresh, dist_field, jump_substeps,
+            prepass_jumps)
         return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
                 w.reshape(height, width, 1))
     # clamp the chunk to the frame's ray count (bucket-ladder granularity):
@@ -1163,6 +1167,7 @@ def render_image_sphere_traced_fast(
             nr_refine_iters=nr_refine_iters, dist_field=dist_field,
             return_n_hit=True, round_sdf_evals=round_evals,
             final_refresh=False,  # the shading pass re-evaluates the hits
+            jump_substeps=jump_substeps, prepass_jumps=prepass_jumps,
         )
         lit = _lit_and_state(pos, conv, alive, grid, grid_cfg, cfg)
         # n_alive >= n_lit (lit additionally requires in-bounds+occupied),

@@ -220,3 +220,37 @@ def test_render_image_sphere_traced_fast_pipeline():
     )
     assert rgb.shape == (24, 24, 3) and np.isfinite(rgb).all()
     assert alpha.shape == (24, 24, 1) and np.isfinite(nrm).all()
+
+
+def test_adaptive_jump_substeps_and_prepass_match_baseline():
+    """Chained empty-space jumps (jump_substeps>1) and the jump-only
+    prepass are pure accelerations: each jump is individually bounded by a
+    fresh Chebyshev gather, so hit/miss classification and the converged
+    surface must match the single-jump tracer."""
+    from permuto_sdf_tpu.ops.sphere_trace import sphere_trace_adaptive
+
+    origins, dirs = _rays()
+    cfg, grid = _grid_for_sphere()
+    ctx = {"radius": jnp.asarray(RADIUS)}
+    base = sphere_trace_adaptive(
+        _sdf_eval_ctx, ctx, origins, dirs, BOUND, nr_rounds=5,
+        iters_per_round=3, grid_cfg=cfg, grid=grid, min_bucket=64,
+    )
+    fast = sphere_trace_adaptive(
+        _sdf_eval_ctx, ctx, origins, dirs, BOUND, nr_rounds=5,
+        iters_per_round=3, grid_cfg=cfg, grid=grid, min_bucket=64,
+        jump_substeps=4, prepass_jumps=16,
+    )
+    conv_a, conv_b = np.asarray(base[2]), np.asarray(fast[2])
+    assert conv_b.mean() >= conv_a.mean() - 1e-9  # jumps never lose hits
+    both = conv_a & conv_b
+    assert both.mean() > 0.3
+    r = np.linalg.norm(np.asarray(fast[0])[both], axis=-1)
+    np.testing.assert_allclose(r, RADIUS, atol=5e-4)
+    # jumps are bounded by fresh Chebyshev gathers, so they can only change
+    # WHEN a miss ray dies, never turn a clean miss into a hit: any ray the
+    # baseline saw exit without converging must not be converged here
+    # (exact `alive` equality is too strict — a grazing ray may exit in 15
+    # iters under chained jumps but still be mid-march in the baseline)
+    clean_miss = ~np.asarray(base[3]) & ~conv_a
+    assert not conv_b[clean_miss].any()
