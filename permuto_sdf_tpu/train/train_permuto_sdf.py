@@ -674,9 +674,107 @@ def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
                            cos_anneal_ratio, forced_variance, cfg=cfg)
 
 
+def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
+                        cos_anneal_ratio, forced_variance, *,
+                        cfg: PermutoSDFTrainConfig, coarse_levels: int = 10,
+                        top_k: int = 16):
+    """Volumetric eval render with per-sample level-LOD (PERFORMANCE.md
+    finding 20; the render-time half of SURVEY §7 hard-part 1's LOD idea).
+
+    NeuS weights concentrate at the surface crossing — most samples along
+    a ray carry ~zero weight yet the exact path pays full-resolution
+    encode + gradient + RGB for every one. Here:
+
+    1. coarse pass: SDF + gradient at the ``coarse_levels`` coarsest
+       encoding levels for ALL samples (the c2f-trained coarse levels
+       carry the geometry; fine levels add surface detail);
+    2. ``lax.top_k`` weights per ray select the samples that matter;
+    3. fine pass: full-resolution SDF gradient + RGB on the R*top_k
+       selected samples only;
+    4. weights are recomputed from MIXED dense arrays (fine sdf/grads
+       scattered over the coarse ones at the selected slots), so the
+       surface crossing uses full-resolution values; the dropped rgb mass
+       is the non-selected samples' (tiny) weight sum.
+
+    Exact only in the limit; the A/B on the trained flagship measures the
+    residual (eval_artifacts/perf_lod_eval.py). ``aux`` unused."""
+    _, t_entry, _, t_exit, _ = BOUND.ray_intersection(origins, dirs)
+    samples = _create_fg_samples(params, grid, jax.random.PRNGKey(0), origins,
+                                 dirs, t_entry, t_exit, iter_nr_anneal, cfg,
+                                 jitter=False)
+    R, S = samples.mask.shape
+    M = R * S
+    pos = samples.flat_positions()
+    K = min(top_k, S)
+
+    def sdf_coarse_sum(p):
+        return sdf_apply(params["sdf"], p, iter_nr_anneal, cfg.sdf_model,
+                         max_levels=coarse_levels)[0].sum()
+
+    sdf_c = sdf_apply(params["sdf"], pos, iter_nr_anneal, cfg.sdf_model,
+                      max_levels=coarse_levels)[0].reshape(-1)
+    grads_c = jax.grad(sdf_coarse_sum)(pos)
+
+    inv_s = vr.variance_inv_s(params["variance"], forced_variance)
+    w_c, _, _ = vr.neus_compute_weights(samples, sdf_c, grads_c, inv_s,
+                                        cos_anneal_ratio)
+
+    _, ik = jax.lax.top_k(jnp.where(samples.mask, w_c, -1.0), K)  # [R, K]
+    flat_ik = (jnp.arange(R)[:, None] * S + ik).reshape(-1)
+    sel_mask = jnp.take(samples.mask.reshape(-1), flat_ik)
+    pos_k = pos[flat_ik]
+    dirs_k = samples.flat_dirs()[flat_ik]
+
+    sdf_k, grads_k, geom_k = sdf_with_gradient(
+        params["sdf"], pos_k, iter_nr_anneal, cfg.sdf_model)
+    rgb_k = rgb_apply(params["rgb"], pos_k, dirs_k, grads_k, geom_k,
+                      iter_nr_anneal, cfg.rgb_model)
+
+    # mixed dense arrays: full-resolution values at the selected slots
+    sdf_m = sdf_c.at[flat_ik].set(
+        jnp.where(sel_mask, sdf_k.reshape(-1), sdf_c[flat_ik]))
+    grads_m = grads_c.at[flat_ik].set(
+        jnp.where(sel_mask[:, None], grads_k, grads_c[flat_ik]))
+    w_m, weights_sum, bg_tr = vr.neus_compute_weights(
+        samples, sdf_m, grads_m, inv_s, cos_anneal_ratio)
+
+    wk = jnp.take(w_m.reshape(-1), flat_ik).reshape(R, K)
+    wk = jnp.where(sel_mask.reshape(R, K), wk, 0.0)
+    pred_rgb = jnp.sum(wk[..., None] * rgb_k.reshape(R, K, 3), axis=1)
+    grad_int = jnp.sum(wk[..., None] * grads_k.reshape(R, K, 3), axis=1)
+    pred_normals = grad_int / (
+        jnp.linalg.norm(grad_int, axis=-1, keepdims=True) + 1e-12)
+
+    if not cfg.with_mask:
+        bg_samples = compute_samples_bg(
+            origins, dirs, t_exit, cfg.nr_samples_bg, BOUND.radius,
+            BOUND.center, key=jax.random.PRNGKey(1), jitter=False,
+        )
+        Rb, Sb = bg_samples.mask.shape
+        rgb_bg, dens_bg = nerf_hash_apply(
+            params["bg"], bg_samples.pos_4d.reshape(-1, 4),
+            bg_samples.flat_dirs(), iter_nr_anneal, cfg.bg_model,
+        )
+        w_bg, _, _ = vr.nerf_compute_weights(bg_samples, dens_bg)
+        pred_rgb_bg = vr.integrate_with_weights(
+            rgb_bg.reshape(Rb, Sb, 3), w_bg, bg_samples.mask)
+        pred_rgb = pred_rgb + bg_tr[:, None] * pred_rgb_bg
+
+    return pred_rgb, pred_normals, weights_sum
+
+
+render_rays_eval_lod = functools.partial(
+    jax.jit, static_argnames=("cfg", "coarse_levels", "top_k"))(
+    lambda params, grid, origins, dirs, iter_nr_anneal, cos_anneal_ratio,
+    forced_variance, cfg, coarse_levels=10, top_k=16:
+    _eval_render_fn_lod(params, grid, None, origins, dirs, iter_nr_anneal,
+                        cos_anneal_ratio, forced_variance, cfg=cfg,
+                        coarse_levels=coarse_levels, top_k=top_k))
+
+
 def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
                  cfg: PermutoSDFTrainConfig, forced_variance=0.8, chunk: int = 2048,
-                 mesh=None):
+                 mesh=None, lod: bool | tuple = False):
     """run_net_in_chunks equivalent (train_permuto_sdf.py:172-209).
 
     The render sample budget is DISABLED here: the budget is the training
@@ -722,11 +820,18 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
     pad = (-n) % chunk
     origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
     dirs = jnp.concatenate([dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+    lod_kw = {}
+    if lod:
+        render_fn = render_rays_eval_lod
+        if isinstance(lod, tuple):
+            lod_kw = {"coarse_levels": lod[0], "top_k": lod[1]}
+    else:
+        render_fn = render_rays_eval
     rgbs, normals, alphas = [], [], []
     for i in range(0, n + pad, chunk):
-        rgb, nrm, ws = render_rays_eval(
+        rgb, nrm, ws = render_fn(
             params, grid, origins[i : i + chunk], dirs[i : i + chunk],
-            iter_nr_anneal, 1.0, forced_variance, cfg,
+            iter_nr_anneal, 1.0, forced_variance, cfg, **lod_kw,
         )
         rgbs.append(np.asarray(rgb))
         normals.append(np.asarray(nrm))

@@ -394,3 +394,42 @@ def test_sphere_traced_agrees_with_volumetric(tiny_reel):
     both = np.logical_and(av, as_)
     diff = np.abs(np.asarray(rgb_v)[both] - np.asarray(rgb_s)[both]).mean()
     assert diff < 0.1, diff
+
+
+def test_lod_eval_render_agrees_with_exact(tiny_reel):
+    """render_image(lod=...) — coarse-weight top-K sample selection with
+    full-res refinement (finding 20) — must closely match the exact
+    volumetric eval render: NeuS weights concentrate at the surface
+    crossing, and the crossing samples are exactly the selected ones."""
+    import jax.numpy as jnp
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32, nr_iter_sphere_fit=300,
+        sphere_init_points=1024, grid_nr_voxels_per_dim=32,
+        grid_nr_random_samples=4096, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=8, nr_samples_bg=4,
+    )
+    params = t.init_params(jax.random.PRNGKey(1), cfg, tiny_reel.nr_images)
+    optimizer = t.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    for it in range(cfg.nr_iter_sphere_fit):
+        params, opt_state, _ = t.sphere_init_step(
+            params, opt_state, jax.random.PRNGKey(it), it, cfg, optimizer)
+    grid = og.make_occupancy_grid(cfg.grid)
+    grid = t.occupancy_update(params, grid, jax.random.PRNGKey(9),
+                              jnp.asarray(1000), jnp.asarray(2981.0), cfg)
+
+    W = H = 32
+    exact = t.render_image(params, grid, tiny_reel.K[0],
+                           tiny_reel.tf_world_cam[0], W, H, 10000, cfg,
+                           forced_variance=0.8, chunk=256)
+    lod = t.render_image(params, grid, tiny_reel.K[0],
+                         tiny_reel.tf_world_cam[0], W, H, 10000, cfg,
+                         forced_variance=0.8, chunk=256, lod=(2, 8))
+    rgb_d = np.abs(np.asarray(exact[0]) - np.asarray(lod[0]))
+    a_d = np.abs(np.asarray(exact[2]) - np.asarray(lod[2]))
+    assert rgb_d.mean() < 0.01, rgb_d.mean()
+    assert rgb_d.max() < 0.15, rgb_d.max()   # isolated silhouette pixels
+    assert a_d.max() < 0.1, a_d.max()
