@@ -95,11 +95,16 @@ def dp_render_chunked(renderer, mesh, params, grid, aux_tree, origins, dirs,
         [origins, jnp.tile(jnp.asarray([pad_origin]), (pad, 1))], 0)
     dirs = jnp.concatenate(
         [dirs, jnp.tile(jnp.asarray([pad_dir]), (pad, 1))], 0)
-    outs = None
+    # dispatch every super-chunk before fetching any (async dispatch):
+    # devices render chunk i+1 while the host pulls chunk i through the
+    # transport (uninterleave's np.asarray is the fetch)
+    pending = []
     for i in range(0, n + pad, sc):
         o = interleave_shard(origins[i : i + sc], d)
         v = interleave_shard(dirs[i : i + sc], d)
-        res = renderer(params, grid, aux_tree, o, v, scalars)
+        pending.append(renderer(params, grid, aux_tree, o, v, scalars))
+    outs = None
+    for res in pending:
         res = [uninterleave(r) for r in res]
         if outs is None:
             outs = [[] for _ in res]

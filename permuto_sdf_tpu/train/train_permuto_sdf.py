@@ -827,19 +827,19 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
             lod_kw = {"coarse_levels": lod[0], "top_k": lod[1]}
     else:
         render_fn = render_rays_eval
-    rgbs, normals, alphas = [], [], []
-    for i in range(0, n + pad, chunk):
-        rgb, nrm, ws = render_fn(
-            params, grid, origins[i : i + chunk], dirs[i : i + chunk],
-            iter_nr_anneal, 1.0, forced_variance, cfg, **lod_kw,
-        )
-        rgbs.append(np.asarray(rgb))
-        normals.append(np.asarray(nrm))
-        alphas.append(np.asarray(ws))
-    rgb = np.concatenate(rgbs)[:n].reshape(height, width, 3)
-    nrm = np.concatenate(normals)[:n].reshape(height, width, 3)
-    alpha = np.concatenate(alphas)[:n].reshape(height, width, 1)
-    return rgb, nrm, alpha
+    # dispatch every chunk before fetching any: JAX dispatch is async, so
+    # the device renders chunk i+1 while the host pulls chunk i through
+    # the (slow — finding 11) transport instead of idling between chunks
+    outs = [
+        render_fn(params, grid, origins[i : i + chunk], dirs[i : i + chunk],
+                  iter_nr_anneal, 1.0, forced_variance, cfg, **lod_kw)
+        for i in range(0, n + pad, chunk)
+    ]
+    rgb = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
+    nrm = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+    alpha = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+    return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
+            alpha.reshape(height, width, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nr_sphere_traces",
