@@ -87,6 +87,8 @@ def export_dtu_scene(reel: TensorReel, out_dir: str,
 
     cams = {}
     rgb = np.asarray(reel.rgb)
+    if rgb.dtype == np.uint8:  # quantize_reel storage
+        rgb = rgb.astype(np.float32) / 255.0
     Ks = np.asarray(reel.K)
     tfs = np.asarray(reel.tf_world_cam)
     for i in range(reel.nr_images):

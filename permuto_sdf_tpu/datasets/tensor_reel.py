@@ -25,8 +25,8 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TensorReel:
-    rgb: jnp.ndarray  # [N, H, W, 3] float32 in [0, 1]
-    mask: Optional[jnp.ndarray]  # [N, H, W, 1] float32 or None
+    rgb: jnp.ndarray  # [N, H, W, 3] float32 in [0, 1] — or uint8 (see below)
+    mask: Optional[jnp.ndarray]  # [N, H, W, 1] float32 / uint8 or None
     K: jnp.ndarray  # [N, 3, 3] intrinsics
     tf_world_cam: jnp.ndarray  # [N, 4, 4] camera-to-world transforms
 
@@ -41,6 +41,31 @@ class TensorReel:
     @property
     def width(self) -> int:
         return self.rgb.shape[2]
+
+
+def quantize_reel(reel: TensorReel) -> TensorReel:
+    """uint8-storage copy of the reel: 4x less HBM and 4x less transport.
+
+    The pixel sources are 8-bit images anyway, so dequantizing AFTER the
+    per-ray gather (see :func:`_dequant_rgb`) reproduces the source data
+    exactly — lossless for any loader that read uint8 files. This is the
+    intended storage for DTU-scale stacks in data-parallel training,
+    where the reel is replicated to every device (a 49-view 1600x1200
+    DTU reel is ~1.1 GB f32 but ~276 MB u8 per chip)."""
+    q = lambda x: jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+    return dataclasses.replace(
+        reel,
+        rgb=q(reel.rgb) if reel.rgb.dtype != jnp.uint8 else reel.rgb,
+        mask=(None if reel.mask is None else
+              (q(reel.mask) if reel.mask.dtype != jnp.uint8 else reel.mask)),
+    )
+
+
+def _dequant(x):
+    """Post-gather dequantization: u8 reels store pixels as 0..255."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
 
 
 def random_rays_from_reel(reel: TensorReel, key, nr_rays: int):
@@ -67,9 +92,9 @@ def random_rays_from_reel(reel: TensorReel, key, nr_rays: int):
 
     yi = (py - 0.5).astype(jnp.int32)
     xi = (px - 0.5).astype(jnp.int32)
-    gt_rgb = reel.rgb[img_idx, yi, xi]  # [R, 3]
+    gt_rgb = _dequant(reel.rgb[img_idx, yi, xi])  # [R, 3]
     if reel.mask is not None:
-        gt_mask = reel.mask[img_idx, yi, xi]
+        gt_mask = _dequant(reel.mask[img_idx, yi, xi])
         gt_rgb = gt_rgb * gt_mask
     else:
         gt_mask = jnp.ones((nr_rays, 1), gt_rgb.dtype)
@@ -123,9 +148,9 @@ def rays_from_reprojection_reel(reel: TensorReel, key, points_reprojected):
 
     yi = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
     xi = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
-    gt_rgb = reel.rgb[img_idx, yi, xi]
+    gt_rgb = _dequant(reel.rgb[img_idx, yi, xi])
     if reel.mask is not None:
-        gt_mask = reel.mask[img_idx, yi, xi]
+        gt_mask = _dequant(reel.mask[img_idx, yi, xi])
         gt_rgb = gt_rgb * gt_mask
     else:
         gt_mask = jnp.ones((n_pts, 1), gt_rgb.dtype)

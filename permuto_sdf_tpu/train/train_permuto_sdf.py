@@ -1362,8 +1362,12 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
     gradients over ICI (parallel/data_parallel.py). ``cfg.nr_rays`` is the
     PER-DEVICE ray count; params/grid/reel are replicated. The dynamic
     rebalancer then holds the per-device sample budget, so adding chips
-    scales total rays/step linearly. The reference has no multi-GPU path
-    (SURVEY.md §2.3) — this is a new capability under the same API."""
+    scales total rays/step linearly. For DTU-scale image stacks pass the
+    reel through :func:`datasets.tensor_reel.quantize_reel` first — uint8
+    storage quarters the per-chip HBM and upload cost of the replication,
+    losslessly for 8-bit sources (dequant happens after the per-ray
+    gather). The reference has no multi-GPU path (SURVEY.md §2.3) — this
+    is a new capability under the same API."""
     nr_iters = nr_iters or cfg.iter_finish_training
     if data_parallel is None:
         data_parallel = jax.device_count() > 1

@@ -330,3 +330,49 @@ def test_dtu_format_train_eval_chain(tmp_path, tiny_reel=None):
     # 60 smoke iters on 24^2 views: the mesh is crude — the assertion is
     # that the full chain runs and produces a finite, sane distance
     assert np.isfinite(out["chamfer"]) and out["chamfer"] < 0.5
+
+
+def test_quantized_reel_matches_float_reel():
+    """quantize_reel stores pixels as uint8 (4x less HBM/transport for
+    DP-replicated DTU-scale reels); dequant happens AFTER the per-ray
+    gather, so ray sampling must agree with the float reel to 8-bit
+    precision — and exactly when the float reel itself came from 8-bit
+    sources."""
+    import jax
+    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+    from permuto_sdf_tpu.datasets.tensor_reel import (
+        quantize_reel, random_rays_from_reel)
+
+    reel = make_synthetic_reel(nr_views=3, width=32, height=32)
+    qreel = quantize_reel(reel)
+    assert np.asarray(qreel.rgb).dtype == np.uint8
+    assert np.asarray(qreel.mask).dtype == np.uint8
+
+    key = jax.random.PRNGKey(3)
+    o_f, d_f, rgb_f, m_f, i_f = random_rays_from_reel(reel, key, 256)
+    o_q, d_q, rgb_q, m_q, i_q = random_rays_from_reel(qreel, key, 256)
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_q))
+    np.testing.assert_array_equal(np.asarray(o_f), np.asarray(o_q))
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_q))
+    assert np.abs(np.asarray(rgb_f) - np.asarray(rgb_q)).max() <= 1 / 254
+    assert np.abs(np.asarray(m_f) - np.asarray(m_q)).max() <= 1 / 254
+    assert np.asarray(rgb_q).dtype == np.float32  # dequanted output
+
+
+def test_train_accepts_quantized_reel():
+    """The full train() path (incl. mask BCE) runs on a uint8-storage reel
+    without dtype surprises and losses stay finite."""
+    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+    from permuto_sdf_tpu.datasets.tensor_reel import quantize_reel
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+
+    reel = quantize_reel(make_synthetic_reel(nr_views=2, width=24, height=24))
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32, nr_iter_sphere_fit=10,
+        sphere_init_points=256, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=256, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=10,
+        with_mask=True,
+    )
+    params, grid, hist = t.train(reel, cfg, nr_iters=25, log_every=10)
+    assert np.isfinite(hist[-1][1])
