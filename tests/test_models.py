@@ -176,3 +176,65 @@ def test_sdf_gradient_forward_vs_reverse_mode():
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
                                rtol=1e-4, atol=1e-7)
     assert float(jnp.abs(flat_f).sum()) > 0
+
+
+def test_deferred_render_bilinear_matches_manual():
+    """Bilinear UV sampling: exact texel centers return exact values;
+    midpoints return the average (grid_sample align_corners=False
+    semantics on the reference's uv*2-1 grid)."""
+    import jax.numpy as jnp
+    from permuto_sdf_tpu.models.deferred_render import sample_texture_bilinear
+
+    tex = jnp.arange(16.0).reshape(4, 4, 1)
+    # texel centers: uv = (i + 0.5) / 4
+    uv = jnp.asarray([[(1 + 0.5) / 4, (2 + 0.5) / 4]])
+    v = sample_texture_bilinear(tex, uv)
+    np.testing.assert_allclose(np.asarray(v), [[tex[2, 1, 0]]], atol=1e-6)
+    # midpoint between texels (1,1) (1,2) (2,1) (2,2)
+    uv = jnp.asarray([[0.5, 0.5]])
+    v = sample_texture_bilinear(tex, uv)
+    np.testing.assert_allclose(
+        np.asarray(v), [[float(tex[1, 1, 0] + tex[1, 2, 0]
+                               + tex[2, 1, 0] + tex[2, 2, 0]) / 4]], atol=1e-6)
+
+
+def test_deferred_render_pyramid_heads_and_gradients():
+    """Pyramid sum + MLP and UNet heads run, differentiate, and fit a tiny
+    target (the module's whole job: a learnable texture-space field)."""
+    import jax
+    import jax.numpy as jnp
+    from permuto_sdf_tpu.models.deferred_render import (
+        DeferredRenderConfig, init_deferred_render, deferred_render_apply)
+
+    cfg = DeferredRenderConfig(tex_size=16, tex_nr_channels=4, nr_textures=3,
+                               use_mlp=True)
+    params = init_deferred_render(jax.random.PRNGKey(0), cfg)
+    assert [t.shape[0] for t in params["textures"]] == [16, 8, 4]
+    uv = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+    target = jnp.sin(uv[:, :1] * 7) * jnp.cos(uv[:, 1:] * 5)
+
+    def loss(p):
+        out = deferred_render_apply(p, uv, cfg)
+        return jnp.mean((out[:, :1] - target) ** 2)
+
+    import optax
+    opt = optax.adam(3e-2)
+    st = opt.init(params)
+    l0 = float(loss(params))
+    step = jax.jit(lambda p, s: (lambda g: opt.update(g, s, p))(jax.grad(loss)(p)))
+    for _ in range(200):
+        upd, st = step(params, st)
+        params = optax.apply_updates(params, upd)
+    assert float(loss(params)) < l0 * 0.2
+
+    # UNet head on an image-shaped uv grid
+    cfg_u = DeferredRenderConfig(tex_size=16, tex_nr_channels=4,
+                                 nr_textures=2, use_unet=True)
+    pu = init_deferred_render(jax.random.PRNGKey(2), cfg_u)
+    ys, xs = jnp.meshgrid(jnp.linspace(0, 1, 12), jnp.linspace(0, 1, 12),
+                          indexing="ij")
+    uv_img = jnp.stack([xs, ys], -1)
+    out = deferred_render_apply(pu, uv_img, cfg_u)
+    assert out.shape == (12, 12, 3)
+    g = jax.grad(lambda p: jnp.sum(deferred_render_apply(p, uv_img, cfg_u) ** 2))(pu)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
