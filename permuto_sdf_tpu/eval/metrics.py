@@ -58,6 +58,67 @@ def ssim(pred, gt, data_range: float = 1.0):
     return jnp.mean(num / den)
 
 
+def _ssim_components(pred, gt, data_range: float = 1.0):
+    """Per-pixel (luminance*contrast*structure, contrast*structure) maps —
+    the MS-SSIM building blocks (Wang et al. 2003 eq. 7)."""
+    k = _gaussian_kernel()[:, :, None, None]
+
+    def filt(img):
+        img_ = jnp.moveaxis(img, -1, 0)[:, None]
+        out = jax.lax.conv_general_dilated(
+            img_, jnp.moveaxis(k, (0, 1), (2, 3)),
+            window_strides=(1, 1), padding="VALID",
+        )
+        return jnp.moveaxis(out[:, 0], 0, -1)
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_p, mu_g = filt(pred), filt(gt)
+    mu_p2, mu_g2, mu_pg = mu_p ** 2, mu_g ** 2, mu_p * mu_g
+    s_p = filt(pred * pred) - mu_p2
+    s_g = filt(gt * gt) - mu_g2
+    s_pg = filt(pred * gt) - mu_pg
+    lum = (2 * mu_pg + c1) / (mu_p2 + mu_g2 + c1)
+    cs = (2 * s_pg + c2) / (s_p + s_g + c2)
+    return lum * cs, cs
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def ms_ssim(pred, gt, data_range: float = 1.0, weights=_MSSSIM_WEIGHTS):
+    """Multi-scale SSIM (Wang, Simoncelli & Bovik 2003) — the standard
+    5-scale formulation with the published weights, 2x average-pool
+    between scales. Unlike LPIPS this perceptual metric is FULLY
+    specified by its formula (no pretrained weights), so values are
+    directly comparable to other implementations (piq/tf.image defaults).
+    Inputs [H, W, C] in [0, data_range]; needs min(H, W) >= 11 * 2^(S-1).
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    gt = jnp.asarray(gt, jnp.float32)
+    if pred.ndim == 2:
+        pred = pred[..., None]
+        gt = gt[..., None]
+
+    def pool2(img):
+        H, W, C = img.shape
+        img = img[: H - H % 2, : W - W % 2]
+        return 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                       + img[0::2, 1::2] + img[1::2, 1::2])
+
+    vals = []
+    for i, w in enumerate(weights):
+        lcs, cs = _ssim_components(pred, gt, data_range)
+        # last scale uses the full product, earlier scales only cs
+        vals.append(jnp.mean(lcs if i == len(weights) - 1 else cs))
+        if i < len(weights) - 1:
+            pred, gt = pool2(pred), pool2(gt)
+    vals = jnp.stack(vals)
+    # ReLU guard (standard practice): cs can be slightly negative
+    vals = jnp.maximum(vals, 0.0)
+    return jnp.prod(vals ** jnp.asarray(weights))
+
+
 # ---------------------------------------------------------------------------
 # LPIPS — perceptual distance (documented substitute)
 # ---------------------------------------------------------------------------

@@ -125,21 +125,27 @@ def cmd_chamfer(args):
 
 def cmd_psnr(args):
     import imageio.v2 as imageio
-    from permuto_sdf_tpu.eval.metrics import psnr, ssim, lpips, _lpips_params
+    from permuto_sdf_tpu.eval.metrics import (psnr, ssim, ms_ssim, lpips,
+                                              _lpips_params)
 
     preds = sorted(os.listdir(args.pred_dir))
     gts = sorted(os.listdir(args.gt_dir))
     lp_params = _lpips_params()
-    scores_p, scores_s, scores_l = [], [], []
+    scores_p, scores_s, scores_m, scores_l = [], [], [], []
     for p, g in zip(preds, gts):
         a = np.asarray(imageio.imread(os.path.join(args.pred_dir, p)), np.float32) / 255
         b = np.asarray(imageio.imread(os.path.join(args.gt_dir, g)), np.float32) / 255
         scores_p.append(float(psnr(a, b)))
         scores_s.append(float(ssim(a, b)))
+        if min(a.shape[:2]) >= 176:  # 11 * 2^4 — 5-scale validity bound
+            scores_m.append(float(ms_ssim(a, b)))
         scores_l.append(float(lpips(a, b, params=lp_params)))
     print(json.dumps({
         "psnr_mean": float(np.mean(scores_p)),
         "ssim_mean": float(np.mean(scores_s)),
+        # calibrated perceptual metric: standard 5-scale MS-SSIM (fully
+        # formula-specified, comparable across implementations)
+        "ms_ssim_mean": float(np.mean(scores_m)) if scores_m else None,
         # deliberately NOT named "lpips_mean": this is the random-feature
         # substitute (pretrained VGG weights are unobtainable in this
         # environment) — the values rank image pairs but are NOT comparable

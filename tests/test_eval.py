@@ -130,3 +130,31 @@ def test_lpips_orders_pairs():
     d_noisy = float(lpips(a, noisy, params=p))
     d_far = float(lpips(a, shuffled, params=p))
     assert d_self < 1e-6 < d_noisy < d_far
+
+
+def test_ms_ssim_properties():
+    """MS-SSIM (standard 5-scale Wang et al. 2003): 1 on identical images,
+    monotonically degrading with noise amplitude, and less punishing than
+    single-scale SSIM for a small global shift (its multi-scale pooling is
+    exactly what makes it a better perceptual proxy)."""
+    import numpy as np
+    from permuto_sdf_tpu.eval.metrics import ms_ssim, ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(192, 192, 3)).astype(np.float32)
+    # smooth it so structure exists at all scales
+    from scipy.ndimage import gaussian_filter
+    img = gaussian_filter(img, sigma=(6, 6, 0)).astype(np.float32)
+    img = (img - img.min()) / (img.max() - img.min())
+
+    assert abs(float(ms_ssim(img, img)) - 1.0) < 1e-6
+
+    vals = []
+    for amp in (0.02, 0.05, 0.1, 0.2):
+        noisy = np.clip(img + rng.normal(0, amp, img.shape), 0, 1).astype(np.float32)
+        vals.append(float(ms_ssim(img, noisy)))
+    assert all(a > b for a, b in zip(vals, vals[1:])), vals
+    assert vals[0] > 0.9 and vals[-1] < vals[0]
+
+    shifted = np.roll(img, 2, axis=1)
+    assert float(ms_ssim(img, shifted)) > float(ssim(img, shifted))
