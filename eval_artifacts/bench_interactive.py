@@ -5,6 +5,10 @@ distance field build, per-bucket compiles — cached persistently); the
 VIEWER experience is the warm frame time. Renders one 400^2 view from the
 full-run checkpoint three times and reports each frame's wall time; the
 steady-state number goes in the README.
+
+r3: runs at the DEFAULT settings (reference shading semantics, converge
+threshold 2e-4, jump_substeps=4, prepass_jumps=16) — the r2 1.28 s number
+used the loose 1e-3 threshold AND predates the shading-semantics fix.
 """
 import sys, os, time, json
 sys.path.insert(0, "/root/repo")
@@ -33,7 +37,7 @@ for i in range(4):
     tf = look_at_cam_to_world(eye).astype(np.float32)
     t0 = time.perf_counter()
     rgb, nrm, _ = tps.render_image_sphere_traced_fast(
-        params, grid, K, tf, W, H, 9_999_999, cfg, sdf_converged_tresh=1e-3)
+        params, grid, K, tf, W, H, 9_999_999, cfg)
     times.append(round(time.perf_counter() - t0, 2))
     print(f"frame {i}: {times[-1]} s", flush=True)
 
