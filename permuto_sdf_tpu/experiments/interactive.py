@@ -119,8 +119,12 @@ def render_frame(params, grid, cfg, state: ViewerState):
             params, grid, K, tf, state.width, state.height, 9_999_999, cfg,
         )
     else:
+        # interactive volumetric preview uses the level-LOD eval renderer
+        # (finding 20): coarse-weight top-K sample selection, ~2x faster
+        # at visually identical output
         rgb, nrm, _ = tps.render_image(
             params, grid, K, tf, state.width, state.height, 9_999_999, cfg,
+            lod=(10, 16),
         )
     return rgb, nrm
 
