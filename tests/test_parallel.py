@@ -226,3 +226,24 @@ def test_one_scene_per_device_concurrent_training():
         assert np.isfinite(loss)
         devs |= set(params["sdf"]["encoding"]["lattice_values"].devices())
     assert len(devs) == 2, f"scenes trained on {devs} — expected 2 devices"
+
+
+def test_dp_train_accepts_quantized_reel():
+    """uint8-storage reels (quantize_reel — the intended format for
+    DTU-scale DP replication) must flow through the shard_map train path:
+    replication of uint8 arrays + in-graph dequant after the pixel
+    gather."""
+    from permuto_sdf_tpu.datasets.tensor_reel import quantize_reel
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+
+    reel = quantize_reel(make_synthetic_reel(nr_views=2, width=24, height=24))
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=16, nr_iter_sphere_fit=5,
+        sphere_init_points=256, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=512, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=10,
+    )
+    assert jax.device_count() > 1
+    params, grid, hist = t.train(reel, cfg, nr_iters=30, log_every=10,
+                                 dynamic_nr_rays=False, data_parallel=True)
+    assert np.isfinite(hist[-1][1])
