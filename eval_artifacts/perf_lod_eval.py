@@ -3,7 +3,9 @@ VERDICT r2 item 3c) on the trained flagship checkpoint.
 
 Exact path: every valid sample pays full-resolution encode + gradient +
 RGB. LOD path: coarse-level weights pick top-K samples per ray; only
-those get full resolution (render_rays_eval_lod). Measures warm seconds
+those get full resolution (render_rays_eval_lod). A CPU diag on the
+trained flagship showed coarse_levels=10 misplaces the crossing
+(fg 22.8 vs 35.1 dB on a train view) — the matrix starts at 12-20. Measures warm seconds
 per 200^2 view and PSNR (vs GT and vs the exact render) for a settings
 matrix; writes perf_lod_eval.json.
 """
@@ -65,7 +67,7 @@ rows = {"exact": {"seconds_per_view": t_exact,
                   "psnr_fg_vs_gt": fg_psnr(exact, gt)}}
 print("exact", json.dumps(rows["exact"]), flush=True)
 
-for cl, k in [(10, 16), (12, 16), (8, 16), (10, 8)]:
+for cl, k in [(16, 16), (20, 16), (12, 16), (16, 8)]:
     (img, _, _), t_lod = timed({"lod": (cl, k)})
     rows[f"lod_c{cl}_k{k}"] = {
         "seconds_per_view": t_lod,

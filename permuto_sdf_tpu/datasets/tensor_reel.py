@@ -68,9 +68,20 @@ def _dequant(x):
     return x
 
 
-def random_rays_from_reel(reel: TensorReel, key, nr_rays: int):
+def random_rays_from_reel(reel: TensorReel, key, nr_rays: int,
+                          apply_mask: bool = True):
     """-> (ray_origins [R,3], ray_dirs [R,3], gt_rgb [R,3], gt_mask [R,1],
-    img_indices [R])."""
+    img_indices [R]).
+
+    ``apply_mask`` multiplies gt_rgb by the object mask (the reference
+    kernel's behavior, PermutoSDFGPU.cuh:102-122). The reference only
+    loads masks into its reel when training WITH mask supervision, so its
+    unconditional multiply is equivalent to gating on with_mask; our
+    reels carry masks whenever the dataset has them (eval/IoU need them),
+    so trainers MUST pass ``apply_mask=cfg.with_mask`` — masking the
+    targets in no-mask mode silently zeroes the background supervision
+    and the NeRF++ background model learns black (found as the r2/r3
+    full-image-PSNR collapse)."""
     k_img, k_pix = jax.random.split(key)
     n, h, w = reel.nr_images, reel.height, reel.width
     img_idx = jax.random.randint(k_img, (nr_rays,), 0, n)
@@ -95,13 +106,15 @@ def random_rays_from_reel(reel: TensorReel, key, nr_rays: int):
     gt_rgb = _dequant(reel.rgb[img_idx, yi, xi])  # [R, 3]
     if reel.mask is not None:
         gt_mask = _dequant(reel.mask[img_idx, yi, xi])
-        gt_rgb = gt_rgb * gt_mask
+        if apply_mask:
+            gt_rgb = gt_rgb * gt_mask
     else:
         gt_mask = jnp.ones((nr_rays, 1), gt_rgb.dtype)
     return t, dirs, gt_rgb, gt_mask, img_idx
 
 
-def rays_from_reprojection_reel(reel: TensorReel, key, points_reprojected):
+def rays_from_reprojection_reel(reel: TensorReel, key, points_reprojected,
+                                apply_mask: bool = True):
     """Rays that look at given 3D points from random training cameras —
     equivalent of ``PermutoSDF::rays_from_reprojection_reel``
     (``src/PermutoSDF.cu:114-163``, kernel ``PermutoSDFGPU.cuh:130-268``).
@@ -151,7 +164,8 @@ def rays_from_reprojection_reel(reel: TensorReel, key, points_reprojected):
     gt_rgb = _dequant(reel.rgb[img_idx, yi, xi])
     if reel.mask is not None:
         gt_mask = _dequant(reel.mask[img_idx, yi, xi])
-        gt_rgb = gt_rgb * gt_mask
+        if apply_mask:  # see random_rays_from_reel — gate on with_mask
+            gt_rgb = gt_rgb * gt_mask
     else:
         gt_mask = jnp.ones((n_pts, 1), gt_rgb.dtype)
     return t_wc, dirs, gt_rgb, gt_mask, img_idx

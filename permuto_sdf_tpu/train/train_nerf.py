@@ -181,8 +181,11 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
     """Pure per-ray-batch gradient computation (data-parallel unit).
     Returns (loss, aux, grads)."""
     k_rays, k_render = jax.random.split(key)
+    # mask-multiplied targets only in mask-supervised mode (see
+    # random_rays_from_reel's docstring — otherwise the background field
+    # trains against zeroed pixels)
     origins, dirs, gt_rgb, gt_mask, img_indices = random_rays_from_reel(
-        reel, k_rays, cfg.nr_rays
+        reel, k_rays, cfg.nr_rays, apply_mask=cfg.with_mask
     )
 
     def loss_fn(p):

@@ -525,8 +525,11 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
     )
 
     k_rays, k_render, k_curv, k_off = jax.random.split(key, 4)
+    # gt is mask-multiplied ONLY in mask-supervised mode: in no-mask mode
+    # the model must fit real background pixels or the NeRF++ background
+    # field trains against zeros (see random_rays_from_reel's docstring)
     origins, dirs, gt_rgb, gt_mask, img_indices = random_rays_from_reel(
-        reel, k_rays, cfg.nr_rays
+        reel, k_rays, cfg.nr_rays, apply_mask=cfg.with_mask
     )
 
     global_weight_curvature = map_range_val(

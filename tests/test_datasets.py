@@ -376,3 +376,46 @@ def test_train_accepts_quantized_reel():
     )
     params, grid, hist = t.train(reel, cfg, nr_iters=25, log_every=10)
     assert np.isfinite(hist[-1][1])
+
+
+def test_no_mask_training_sees_unmasked_background_targets():
+    """REGRESSION (r3): random_rays_from_reel multiplied gt_rgb by the
+    object mask whenever the reel carried one — in no-mask mode that
+    zeroes the background supervision and the NeRF++ background field
+    trains to black (the r2/r3 full-image-PSNR collapse). The reference
+    only loads masks in with_mask mode (create_dataloader(..., with_mask),
+    PermutoSDFGPU.cuh:102-122 multiplies unconditionally); our reels
+    always carry masks, so the multiply must gate on apply_mask."""
+    import jax
+    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+    from permuto_sdf_tpu.datasets.tensor_reel import random_rays_from_reel
+
+    reel = make_synthetic_reel(nr_views=2, width=32, height=32,
+                               bg_mode="textured")
+    key = jax.random.PRNGKey(0)
+    _, _, rgb_nomask, m, _ = random_rays_from_reel(reel, key, 512,
+                                                   apply_mask=False)
+    _, _, rgb_masked, _, _ = random_rays_from_reel(reel, key, 512,
+                                                   apply_mask=True)
+    bg = np.asarray(m)[:, 0] < 0.5
+    assert bg.any()
+    # masked mode zeroes background targets; unmasked mode must not
+    assert float(np.abs(np.asarray(rgb_masked)[bg]).max()) == 0.0
+    assert float(np.asarray(rgb_nomask)[bg].min()) > 0.1  # textured sky
+
+    # and the no-mask trainer consumes the UNMASKED targets
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64, nr_iter_sphere_fit=5,
+        sphere_init_points=256, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=256, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, with_mask=False)
+    params = t.init_params(jax.random.PRNGKey(1), cfg, reel.nr_images)
+    grid = None
+    cfg2 = t.PermutoSDFTrainConfig(**{**cfg.__dict__, "use_occupancy_grid": False})
+    _, aux, _ = t.compute_loss_and_grads(params, grid, reel,
+                                         jax.random.PRNGKey(2),
+                                         jnp.asarray(100), cfg2)
+    # an untrained model on a bright textured bg cannot have near-zero rgb
+    # loss unless the targets were zeroed
+    assert float(aux["loss_rgb"]) > 0.05
