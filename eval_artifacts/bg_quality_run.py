@@ -31,16 +31,21 @@ from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
 
 OUT = "/root/repo/eval_artifacts"
 CKPT = os.path.join(OUT, "bg_run_ckpt")
-NR_ITERS = 20000
-COMPRESSION = "reference 200k-iter schedule x0.1 (sphere-init 4000->3000)"
+# schedule points are FRACTIONS of the run length so the run can be
+# right-sized to available hardware time (BG_ITERS env); compression vs
+# the reference 200k schedule is stated in the output JSON
+NR_ITERS = int(os.environ.get("BG_ITERS", "20000"))
+COMPRESSION = (f"reference 200k-iter schedule x{NR_ITERS/200000:.3f} "
+               f"(sphere-init 4000->{int(NR_ITERS*0.15)})")
 
 cfg = tps.PermutoSDFTrainConfig(
-    nr_iter_sphere_fit=3000,
-    forced_variance_finish_iter=7000,
-    iter_start_reduce_curv=9000,
-    lr_milestones=(11000, 14500, 16500, 18000),
+    nr_iter_sphere_fit=int(NR_ITERS * 0.15),
+    forced_variance_finish_iter=int(NR_ITERS * 0.35),
+    iter_start_reduce_curv=int(NR_ITERS * 0.45),
+    lr_milestones=(int(NR_ITERS * 0.55), int(NR_ITERS * 0.725),
+                   int(NR_ITERS * 0.825), int(NR_ITERS * 0.9)),
     iter_finish_training=NR_ITERS,
-    sdf_nr_iters_for_c2f=7000,
+    sdf_nr_iters_for_c2f=int(NR_ITERS * 0.35),
     with_mask=False,
 )
 

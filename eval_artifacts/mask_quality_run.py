@@ -23,15 +23,16 @@ from permuto_sdf_tpu.datasets import synthetic as syn
 from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
 
 OUT = "/root/repo/eval_artifacts"
-NR_ITERS = 12000
+NR_ITERS = int(os.environ.get("MASK_ITERS", "12000"))
 
 cfg = tps.PermutoSDFTrainConfig(
-    nr_iter_sphere_fit=2000,
-    forced_variance_finish_iter=4500,
-    iter_start_reduce_curv=5500,
-    lr_milestones=(6500, 8500, 10000, 11000),
+    nr_iter_sphere_fit=int(NR_ITERS * 0.17),
+    forced_variance_finish_iter=int(NR_ITERS * 0.375),
+    iter_start_reduce_curv=int(NR_ITERS * 0.46),
+    lr_milestones=(int(NR_ITERS * 0.54), int(NR_ITERS * 0.71),
+                   int(NR_ITERS * 0.83), int(NR_ITERS * 0.92)),
     iter_finish_training=NR_ITERS,
-    sdf_nr_iters_for_c2f=4500,
+    sdf_nr_iters_for_c2f=int(NR_ITERS * 0.375),
     with_mask=True,
 )
 
@@ -90,8 +91,9 @@ overall, d2s, s2d = dtu_chamfer(V_pred, F_pred, gt_points,
                                 downsample_density=0.002, max_dist=0.05)
 
 result = {
-    "config": "flagship 2^18/24 levels, with_mask=True (mask BCE, no bg "
-              "model in the loss); schedule reference 200k x0.06 -> 12k",
+    "config": ("flagship 2^18/24 levels, with_mask=True (mask BCE, no "
+               f"bg model in the loss); schedule reference 200k "
+               f"x{NR_ITERS/200000:.3f} -> {NR_ITERS}"),
     "train_minutes": round(train_s / 60, 1),
     "nr_iters": NR_ITERS,
     "image_metrics_per_view": rows,
