@@ -5,7 +5,7 @@ Exact path: every valid sample pays full-resolution encode + gradient +
 RGB. LOD path: coarse-level weights pick top-K samples per ray; only
 those get full resolution (render_rays_eval_lod). A CPU diag on the
 trained flagship showed coarse_levels=10 misplaces the crossing
-(fg 22.8 vs 35.1 dB on a train view) — the matrix starts at 12-20. Measures warm seconds
+(fg 22.8 vs 35.1 dB on a train view) — top_k is the binding knob (K=32 is 48 dB vs exact; K=16 loses ~9 dB). Measures warm seconds
 per 200^2 view and PSNR (vs GT and vs the exact render) for a settings
 matrix; writes perf_lod_eval.json.
 """
@@ -67,7 +67,7 @@ rows = {"exact": {"seconds_per_view": t_exact,
                   "psnr_fg_vs_gt": fg_psnr(exact, gt)}}
 print("exact", json.dumps(rows["exact"]), flush=True)
 
-for cl, k in [(16, 16), (20, 16), (12, 16), (16, 8)]:
+for cl, k in [(12, 32), (16, 32), (12, 24), (8, 32)]:
     (img, _, _), t_lod = timed({"lod": (cl, k)})
     rows[f"lod_c{cl}_k{k}"] = {
         "seconds_per_view": t_lod,

@@ -124,7 +124,7 @@ def render_frame(params, grid, cfg, state: ViewerState):
         # at visually identical output
         rgb, nrm, _ = tps.render_image(
             params, grid, K, tf, state.width, state.height, 9_999_999, cfg,
-            lod=(16, 16),
+            lod=(12, 32),
         )
     return rgb, nrm
 

@@ -679,8 +679,8 @@ def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
 
 def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
                         cos_anneal_ratio, forced_variance, *,
-                        cfg: PermutoSDFTrainConfig, coarse_levels: int = 10,
-                        top_k: int = 16):
+                        cfg: PermutoSDFTrainConfig, coarse_levels: int = 12,
+                        top_k: int = 32):
     """Volumetric eval render with per-sample level-LOD (PERFORMANCE.md
     finding 20; the render-time half of SURVEY §7 hard-part 1's LOD idea).
 
@@ -700,7 +700,12 @@ def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
        is the non-selected samples' (tiny) weight sum.
 
     Exact only in the limit; the A/B on the trained flagship measures the
-    residual (eval_artifacts/perf_lod_eval.py). ``aux`` unused."""
+    residual (eval_artifacts/perf_lod_eval.py). Tuned on the trained
+    flagship (CPU, 100^2): the binding knob is ``top_k`` — coarse weights
+    MISRANK near-crossing samples, so K must exceed the crossing's
+    coarse-weight spread (K=16 loses ~9 dB fg; K=32 of ~96 samples is
+    48 dB vs the exact render, i.e. visually identical, with
+    coarse_levels anywhere in 12-16). ``aux`` unused."""
     _, t_entry, _, t_exit, _ = BOUND.ray_intersection(origins, dirs)
     samples = _create_fg_samples(params, grid, jax.random.PRNGKey(0), origins,
                                  dirs, t_entry, t_exit, iter_nr_anneal, cfg,
@@ -769,7 +774,7 @@ def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
 render_rays_eval_lod = functools.partial(
     jax.jit, static_argnames=("cfg", "coarse_levels", "top_k"))(
     lambda params, grid, origins, dirs, iter_nr_anneal, cos_anneal_ratio,
-    forced_variance, cfg, coarse_levels=10, top_k=16:
+    forced_variance, cfg, coarse_levels=12, top_k=32:
     _eval_render_fn_lod(params, grid, None, origins, dirs, iter_nr_anneal,
                         cos_anneal_ratio, forced_variance, cfg=cfg,
                         coarse_levels=coarse_levels, top_k=top_k))
