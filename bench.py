@@ -50,6 +50,21 @@ def main():
         if a == "--steps" and i + 1 < len(sys.argv):
             steps = int(sys.argv[i + 1])
 
+    # fail fast instead of silently benchmarking the host CPU: this
+    # environment's TPU lives behind a tunnel relay that can die
+    # (observed 2026-08-17) — a CPU fallback number recorded as the TPU
+    # benchmark would be worse than no number
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and "--cpu-ok" not in sys.argv:
+        print(json.dumps({
+            "metric": "rays_per_sec_per_chip", "value": 0, "unit": "rays/s",
+            "vs_baseline": 0,
+            "error": "no TPU backend visible (tunnel down?) — refusing to "
+                     "report CPU throughput as the chip benchmark; pass "
+                     "--cpu-ok to override",
+        }))
+        sys.exit(2)
+
     from permuto_sdf_tpu.train import train_permuto_sdf as tps
     from permuto_sdf_tpu.ops import occupancy_grid as og
     from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
