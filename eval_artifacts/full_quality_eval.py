@@ -50,14 +50,8 @@ it_anneal = NR_ITERS
 
 def heldout_view(i_frac, width=200, height=200, radius=1.3, fov_deg=32.0,
                  nr_views=24):
-    f = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
-    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
-    golden = np.pi * (3.0 - np.sqrt(5.0))
-    zf = 0.8 * (1.0 - 2.0 * (i_frac + 0.5) / nr_views)
-    r = np.sqrt(max(1.0 - zf * zf, 1e-6))
-    th = golden * i_frac
-    eye = radius * np.array([r * np.cos(th), zf, r * np.sin(th)])
-    tf = look_at_cam_to_world(eye).astype(np.float32)
+    # canonical capture-distribution camera (one source of truth)
+    K, tf = syn.spiral_camera(i_frac, width, height, radius, fov_deg, nr_views)
     rgb, mask = syn._render_view(K, tf, width, height)
     return K, tf, rgb, mask
 

@@ -31,15 +31,8 @@ WID = 200
 
 def heldout_view(i_frac, width=WID, height=WID, radius=1.3, fov_deg=32.0,
                  nr_views=24):
-    fv = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
-    Kv = np.array([[fv, 0, width / 2], [0, fv, height / 2], [0, 0, 1]],
-                  np.float32)
-    golden = np.pi * (3.0 - np.sqrt(5.0))
-    zf = 0.8 * (1.0 - 2.0 * (i_frac + 0.5) / nr_views)
-    r = np.sqrt(max(1.0 - zf * zf, 1e-6))
-    th = golden * i_frac
-    eye = radius * np.array([r * np.cos(th), zf, r * np.sin(th)])
-    return Kv, look_at_cam_to_world(eye).astype(np.float32)
+    # canonical capture-distribution camera (one source of truth)
+    return syn.spiral_camera(i_frac, width, height, radius, fov_deg, nr_views)
 
 
 Kv, tfv = heldout_view(8.5)

@@ -28,7 +28,9 @@ run perf_occupancy_r3 1800  python eval_artifacts/perf_occupancy_r3.py
 run bench_interactive 2400  python eval_artifacts/bench_interactive.py
 run perf_lod_eval     3600  python eval_artifacts/perf_lod_eval.py
 run bench_steady      2400  python bench.py --steps 60
-BG_ITERS=$BG_ITERS    run bg_quality_run   $(( BG_ITERS/2 + 3600 ))  python eval_artifacts/bg_quality_run.py
-MASK_ITERS=$MASK_ITERS run mask_quality_run $(( MASK_ITERS/2 + 3600 )) python eval_artifacts/mask_quality_run.py
+# measured rate on the real chip: ~0.72-0.77 s/iter steady state (bg run
+# log, post-11k) — grant 1 s/iter + 2 h of compile/eval/contention headroom
+BG_ITERS=$BG_ITERS    run bg_quality_run   $(( BG_ITERS + 7200 ))  python eval_artifacts/bg_quality_run.py
+MASK_ITERS=$MASK_ITERS run mask_quality_run $(( MASK_ITERS + 7200 )) python eval_artifacts/mask_quality_run.py
 
 echo "=== r3 TPU queue done $(date -u) ===" | tee -a "$LOG"

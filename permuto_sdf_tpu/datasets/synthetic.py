@@ -109,23 +109,33 @@ def _render_view(K, tf, width, height, sdf_fn=scene_sdf, n_steps: int = 96,
     )
 
 
+def spiral_camera(i_frac: float, width: int = 200, height: int = 200,
+                  radius: float = 1.3, fov_deg: float = 32.0,
+                  nr_views: int = 24):
+    """The golden-spiral capture camera at (possibly fractional) index
+    ``i_frac`` — the ONE source of truth for the synthetic capture
+    distribution. Integer indices are the training cameras of
+    :func:`make_synthetic_reel`; fractional indices (e.g. 8.5) sit between
+    training cameras and are the held-out eval protocol used by the
+    eval_artifacts scripts across rounds. Returns ``(K, tf_world_cam)``."""
+    f = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    # fibonacci hemisphere-ish coverage; 0.8 factor stays away from poles
+    zf = 0.8 * (1.0 - 2.0 * (i_frac + 0.5) / nr_views)
+    r = np.sqrt(max(1.0 - zf * zf, 1e-6))
+    th = golden * i_frac
+    eye = radius * np.array([r * np.cos(th), zf, r * np.sin(th)])
+    return K, look_at_cam_to_world(eye).astype(np.float32)
+
+
 def make_synthetic_reel(nr_views: int = 24, width: int = 200, height: int = 200,
                         radius: float = 1.3, fov_deg: float = 32.0,
                         with_mask: bool = True, sdf_fn=scene_sdf,
                         bg_mode: str = "constant") -> TensorReel:
-    f = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
-    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
-
     rgbs, masks, Ks, tfs = [], [], [], []
-    golden = np.pi * (3.0 - np.sqrt(5.0))
     for i in range(nr_views):
-        # fibonacci hemisphere-ish coverage, avoiding poles
-        zf = 1.0 - 2.0 * (i + 0.5) / nr_views
-        zf = 0.8 * zf  # stay away from the poles
-        r = np.sqrt(max(1.0 - zf * zf, 1e-6))
-        th = golden * i
-        eye = radius * np.array([r * np.cos(th), zf, r * np.sin(th)])
-        tf = look_at_cam_to_world(eye)
+        K, tf = spiral_camera(i, width, height, radius, fov_deg, nr_views)
         rgb, mask = _render_view(K, tf, width, height, sdf_fn=sdf_fn,
                                  bg_mode=bg_mode)
         rgbs.append(rgb)

@@ -816,12 +816,21 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
             make_dp_ray_renderer, dp_render_chunked,
         )
 
-        renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
+        if lod:
+            lod_kw = ({"coarse_levels": lod[0], "top_k": lod[1]}
+                      if isinstance(lod, tuple) else {})
+            renderer = make_dp_ray_renderer(
+                _eval_render_fn_lod, mesh, 3, cfg=cfg, **lod_kw)
+        else:
+            renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
         scalars = (jnp.asarray(iter_nr_anneal), jnp.asarray(1.0),
                    jnp.asarray(forced_variance))
+        # small frames: don't pad to the full per-device chunk pitch
+        chunk_local = min(chunk, -(-n // mesh.devices.size))
         # pad rays start outside the bound pointing away -> no work
         rgb, nrm, alpha = dp_render_chunked(
-            renderer, mesh, params, grid, None, origins, dirs, scalars, chunk)
+            renderer, mesh, params, grid, None, origins, dirs, scalars,
+            chunk_local)
         return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
                 alpha.reshape(height, width, 1))
 
@@ -1119,11 +1128,35 @@ def _make_dp_shade(mesh, cfg: PermutoSDFTrainConfig, bucket: int, grid_cfg):
     return jax.jit(sharded)
 
 
+def _make_trace_lod_evals(cfg, ctx, lod_levels, lod_schedule):
+    """Shared construction of the sphere-trace march/refine/round SDF
+    evaluators for a LOD setting (single-device and DP paths)."""
+    full_eval = _make_sdf_eval(cfg.sdf_model, None)
+    round_evals = ()
+    if lod_schedule is not None:
+        # explicit per-round LOD ramp (last entry repeats); full-res refine
+        march_eval = _make_sdf_eval(cfg.sdf_model, lod_schedule[-1])
+        refine_eval, refine_ctx = full_eval, ctx
+        round_evals = tuple(_make_sdf_eval(cfg.sdf_model, l)
+                            for l in lod_schedule)
+    elif lod_levels is not None and lod_levels < cfg.nr_levels:
+        march_eval = _make_sdf_eval(cfg.sdf_model, lod_levels)
+        refine_eval, refine_ctx = full_eval, ctx
+        # round 0 runs at an even coarser LOD: it is the only round that
+        # processes EVERY bound-hitting ray (misses die in it via the
+        # distance-field jumps), so its per-point cost matters most
+        round_evals = (_make_sdf_eval(cfg.sdf_model, max(4, lod_levels // 2)),)
+    else:
+        march_eval, refine_eval, refine_ctx = full_eval, None, None
+    return march_eval, refine_eval, refine_ctx, round_evals
+
+
 def _render_sphere_traced_dp(
         params, grid, origins, dirs, n, iter_nr_anneal, cfg, mesh, chunk,
         lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
         sdf_multiplier, sdf_converged_tresh, dist_field,
-        jump_substeps: int = 4, prepass_jumps: int = 16):
+        jump_substeps: int = 4, prepass_jumps: int = 16,
+        lod_schedule: tuple | None = None):
     """DP drive of the adaptive sphere tracer: rays interleave-sharded over
     the mesh, trace + shade fully device-side, one compacted uint8 fetch
     per device slice. Returns flat (rgb, nrm, w) host arrays of length n."""
@@ -1135,14 +1168,8 @@ def _render_sphere_traced_dp(
     D = mesh.devices.size
     it = jnp.asarray(iter_nr_anneal)
     ctx = (params["sdf"], it)
-    full_eval = _make_sdf_eval(cfg.sdf_model, None)
-    round_evals = ()
-    if lod_levels is not None and lod_levels < cfg.nr_levels:
-        march_eval = _make_sdf_eval(cfg.sdf_model, lod_levels)
-        refine_eval, refine_ctx = full_eval, ctx
-        round_evals = (_make_sdf_eval(cfg.sdf_model, max(4, lod_levels // 2)),)
-    else:
-        march_eval, refine_eval, refine_ctx = full_eval, None, None
+    march_eval, refine_eval, refine_ctx, round_evals = _make_trace_lod_evals(
+        cfg, ctx, lod_levels, lod_schedule)
 
     grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
     if grid_cfg is not None and dist_field is None:
@@ -1231,7 +1258,7 @@ def render_image_sphere_traced_fast(
             params, grid, origins, dirs, n, iter_nr_anneal, cfg, mesh, chunk,
             lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
             sdf_multiplier, sdf_converged_tresh, dist_field, jump_substeps,
-            prepass_jumps)
+            prepass_jumps, lod_schedule=lod_schedule)
         return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
                 w.reshape(height, width, 1))
     # clamp the chunk to the frame's ray count (bucket-ladder granularity):
@@ -1249,23 +1276,8 @@ def render_image_sphere_traced_fast(
 
     it = jnp.asarray(iter_nr_anneal)
     ctx = (params["sdf"], it)
-    full_eval = _make_sdf_eval(cfg.sdf_model, None)
-    round_evals = ()
-    if lod_schedule is not None:
-        # explicit per-round LOD ramp (last entry repeats); full-res refine
-        march_eval = _make_sdf_eval(cfg.sdf_model, lod_schedule[-1])
-        refine_eval, refine_ctx = full_eval, ctx
-        round_evals = tuple(_make_sdf_eval(cfg.sdf_model, l)
-                            for l in lod_schedule)
-    elif lod_levels is not None and lod_levels < cfg.nr_levels:
-        march_eval = _make_sdf_eval(cfg.sdf_model, lod_levels)
-        refine_eval, refine_ctx = full_eval, ctx
-        # round 0 runs at an even coarser LOD: it is the only round that
-        # processes EVERY bound-hitting ray (misses die in it via the
-        # distance-field jumps), so its per-point cost matters most
-        round_evals = (_make_sdf_eval(cfg.sdf_model, max(4, lod_levels // 2)),)
-    else:
-        march_eval, refine_eval, refine_ctx = full_eval, None, None
+    march_eval, refine_eval, refine_ctx, round_evals = _make_trace_lod_evals(
+        cfg, ctx, lod_levels, lod_schedule)
 
     grid_cfg = cfg.grid if (cfg.use_occupancy_grid and grid is not None) else None
     if grid_cfg is not None and dist_field is None:

@@ -251,7 +251,7 @@ def test_dtu_export_load_roundtrip(tmp_path):
                                np.asarray(loaded.K)[:, :2], atol=4e-3)
 
 
-def test_dtu_format_train_eval_chain(tmp_path, tiny_reel=None):
+def test_dtu_format_train_eval_chain(tmp_path):
     """Full real-data chain on DTU-format files: export -> load_dtu_scene
     -> train (smoke scale) -> eval CLI create_mesh (--config/--set) ->
     mask mesh-cleaning -> chamfer, all through the public entry points."""

@@ -155,6 +155,62 @@ def test_dp_render_image_pixel_identical():
     assert np.isfinite(rgb8).all()
 
 
+def test_dp_render_image_honors_lod():
+    """Regression: the DP branch of render_image used to silently ignore
+    ``lod`` and always render the exact path. The LOD render must be
+    pixel-identical across mesh sizes, and must actually be the LOD result
+    (different from the exact render)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    reel = make_synthetic_reel(nr_views=2, width=24, height=24)
+    cfg = _small_cfg(nr_rays=16)
+    params = tps.init_params(jax.random.PRNGKey(5), cfg, reel.nr_images)
+    grid = og.make_occupancy_grid(cfg.grid)
+
+    kwargs = dict(iter_nr_anneal=100, cfg=cfg, chunk=64)
+    lod = (2, 2)  # coarse_levels=2 of 4, top_k=2 — clearly below exact
+    rgb1, _, _ = tps.render_image(params, grid, reel.K[0],
+                                  reel.tf_world_cam[0], 24, 24,
+                                  mesh=make_ray_mesh(1), lod=lod, **kwargs)
+    rgb_exact, _, _ = tps.render_image(params, grid, reel.K[0],
+                                       reel.tf_world_cam[0], 24, 24,
+                                       mesh=make_ray_mesh(1), **kwargs)
+    rgb8, _, _ = tps.render_image(params, grid, reel.K[0],
+                                  reel.tf_world_cam[0], 24, 24,
+                                  mesh=make_ray_mesh(), lod=lod, **kwargs)
+    assert not np.array_equal(np.asarray(rgb1), np.asarray(rgb_exact)), \
+        "LOD settings chosen for this test should differ from exact"
+    np.testing.assert_array_equal(np.asarray(rgb1), np.asarray(rgb8))
+
+
+def test_dp_sphere_traced_honors_lod_schedule():
+    """Regression: the DP branch of render_image_sphere_traced_fast used to
+    drop ``lod_schedule`` and fall back to the default lod_levels rounds."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    reel = make_synthetic_reel(nr_views=2, width=24, height=24)
+    cfg = tps.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=8, nr_rays=32,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+    )
+    params = tps.init_params(jax.random.PRNGKey(0), cfg, reel.nr_images)
+    grid = og.make_occupancy_grid(cfg.grid)
+    kwargs = dict(iter_nr_anneal=1000, cfg=cfg, chunk=256,
+                  lod_schedule=(2, 4, 6))
+    rgb1, nrm1, a1 = tps.render_image_sphere_traced_fast(
+        params, grid, reel.K[0], reel.tf_world_cam[0], 24, 24,
+        mesh=make_ray_mesh(1), **kwargs)
+    rgb8, nrm8, a8 = tps.render_image_sphere_traced_fast(
+        params, grid, reel.K[0], reel.tf_world_cam[0], 24, 24,
+        mesh=make_ray_mesh(), **kwargs)
+    np.testing.assert_array_equal(rgb1, rgb8)
+    np.testing.assert_array_equal(nrm1, nrm8)
+    np.testing.assert_array_equal(a1, a8)
+
+
 def test_dp_occupancy_update_matches_single_device():
     """The mesh-sharded occupancy refresh (probe SDF evals split across
     devices, update replicated) must reproduce the single-device update."""
