@@ -53,8 +53,26 @@ def main():
     # fail fast instead of silently benchmarking the host CPU: this
     # environment's TPU lives behind a tunnel relay that can die
     # (observed 2026-08-17) — a CPU fallback number recorded as the TPU
-    # benchmark would be worse than no number
+    # benchmark would be worse than no number. Backend init itself can
+    # HANG (not error) on a dead tunnel, so bound it with an alarm.
+    # (a SIGALRM handler cannot run while the main thread is blocked
+    # inside the plugin's C init — a watchdog THREAD fires regardless)
+    import threading
+
+    def _init_timeout():
+        print(json.dumps({
+            "metric": "rays_per_sec_per_chip", "value": 0, "unit": "rays/s",
+            "vs_baseline": 0,
+            "error": "TPU backend init hung >300 s (tunnel down?) — "
+                     "refusing to report a fallback number",
+        }), flush=True)
+        os._exit(2)
+
+    watchdog = threading.Timer(300.0, _init_timeout)
+    watchdog.daemon = True
+    watchdog.start()
     platform = jax.devices()[0].platform
+    watchdog.cancel()
     if platform == "cpu" and "--cpu-ok" not in sys.argv:
         print(json.dumps({
             "metric": "rays_per_sec_per_chip", "value": 0, "unit": "rays/s",

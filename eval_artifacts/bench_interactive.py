@@ -21,8 +21,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from permuto_sdf_tpu.train import train_permuto_sdf as tps
 from permuto_sdf_tpu.datasets.tensor_reel import look_at_cam_to_world
 
-OUT = "/root/repo/eval_artifacts"
-CKPT = os.path.join(OUT, "full_run_ckpt", "full", "30000", "models")
+OUT = os.environ.get("EVAL_OUT", "/root/repo/eval_artifacts")
+os.makedirs(OUT, exist_ok=True)
+CKPT = os.path.join("/root/repo/eval_artifacts", "full_run_ckpt", "full", "30000", "models")
 cfg = tps.PermutoSDFTrainConfig()
 params, grid = tps.load_from_checkpoint(CKPT, cfg)
 

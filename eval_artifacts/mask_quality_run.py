@@ -22,7 +22,8 @@ from permuto_sdf_tpu.train import train_permuto_sdf as tps
 from permuto_sdf_tpu.datasets import synthetic as syn
 from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
 
-OUT = "/root/repo/eval_artifacts"
+OUT = os.environ.get("EVAL_OUT", "/root/repo/eval_artifacts")
+os.makedirs(OUT, exist_ok=True)
 NR_ITERS = int(os.environ.get("MASK_ITERS", "12000"))
 
 cfg = tps.PermutoSDFTrainConfig(
@@ -53,7 +54,7 @@ import imageio.v2 as imageio
 
 it_anneal = NR_ITERS
 rows = []
-for i in range(test_reel.nr_images):
+for i in range(int(os.environ.get("MASK_EVAL_VIEWS", test_reel.nr_images))):
     rgb, nrm, alpha = tps.render_image(
         params, grid, test_reel.K[i], test_reel.tf_world_cam[i],
         test_reel.width, test_reel.height, it_anneal, cfg,
@@ -84,8 +85,9 @@ def sdf_fn(pts):
     return sdf_apply(params["sdf"], pts, it_anneal, cfg.sdf_model)[0]
 
 
-V_pred, F_pred = extract_mesh_from_sdf_fn(sdf_fn, 400, -0.5, 0.5)
-V_gt, F_gt = extract_mesh_from_sdf_fn(jax.jit(syn.scene_sdf), 400, -0.5, 0.5)
+MESH_RES = int(os.environ.get("MASK_MESH_RES", "400"))
+V_pred, F_pred = extract_mesh_from_sdf_fn(sdf_fn, MESH_RES, -0.5, 0.5)
+V_gt, F_gt = extract_mesh_from_sdf_fn(jax.jit(syn.scene_sdf), MESH_RES, -0.5, 0.5)
 gt_points = dtueval_sample_mesh(V_gt, F_gt, density=0.002)
 overall, d2s, s2d = dtu_chamfer(V_pred, F_pred, gt_points,
                                 downsample_density=0.002, max_dist=0.05)

@@ -21,12 +21,13 @@ from permuto_sdf_tpu.train import train_permuto_sdf as tps
 from permuto_sdf_tpu.datasets import synthetic as syn
 from permuto_sdf_tpu.datasets.tensor_reel import look_at_cam_to_world
 
-OUT = "/root/repo/eval_artifacts"
-CKPT = os.path.join(OUT, "full_run_ckpt", "full", "30000", "models")
+OUT = os.environ.get("EVAL_OUT", "/root/repo/eval_artifacts")
+os.makedirs(OUT, exist_ok=True)
+CKPT = os.path.join("/root/repo/eval_artifacts", "full_run_ckpt", "full", "30000", "models")
 cfg = tps.PermutoSDFTrainConfig()
 params, grid = tps.load_from_checkpoint(CKPT, cfg)
 
-WID = 200
+WID = int(os.environ.get("LOD_WID", "200"))
 
 
 def heldout_view(i_frac, width=WID, height=WID, radius=1.3, fov_deg=32.0,
@@ -60,7 +61,9 @@ rows = {"exact": {"seconds_per_view": t_exact,
                   "psnr_fg_vs_gt": fg_psnr(exact, gt)}}
 print("exact", json.dumps(rows["exact"]), flush=True)
 
-for cl, k in [(12, 32), (16, 32), (12, 24), (8, 32)]:
+MATRIX = ([(12, 32)] if os.environ.get("LOD_SMOKE") else
+          [(12, 32), (16, 32), (12, 24), (8, 32)])
+for cl, k in MATRIX:
     (img, _, _), t_lod = timed({"lod": (cl, k)})
     rows[f"lod_c{cl}_k{k}"] = {
         "seconds_per_view": t_lod,

@@ -24,13 +24,15 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- [$name] exit=$rc $(date -u)" | tee -a "$LOG"
 }
 
-run perf_occupancy_r3 1800  python eval_artifacts/perf_occupancy_r3.py
+# one short job first (proves the tunnel end-to-end, warms caches), then
+# the two flagship quality runs (the critical evidence), then the rest
 run bench_interactive 2400  python eval_artifacts/bench_interactive.py
-run perf_lod_eval     3600  python eval_artifacts/perf_lod_eval.py
-run bench_steady      2400  python bench.py --steps 60
 # measured rate on the real chip: ~0.72-0.77 s/iter steady state (bg run
 # log, post-11k) — grant 1 s/iter + 2 h of compile/eval/contention headroom
 BG_ITERS=$BG_ITERS    run bg_quality_run   $(( BG_ITERS + 7200 ))  python eval_artifacts/bg_quality_run.py
 MASK_ITERS=$MASK_ITERS run mask_quality_run $(( MASK_ITERS + 7200 )) python eval_artifacts/mask_quality_run.py
+run perf_lod_eval     3600  python eval_artifacts/perf_lod_eval.py
+run perf_occupancy_r3 1800  python eval_artifacts/perf_occupancy_r3.py
+run bench_steady      2400  python bench.py --steps 60
 
 echo "=== r3 TPU queue done $(date -u) ===" | tee -a "$LOG"
