@@ -27,7 +27,7 @@ CKPT = os.path.join("/root/repo/eval_artifacts", "full_run_ckpt", "full", "30000
 cfg = tps.PermutoSDFTrainConfig()
 params, grid = tps.load_from_checkpoint(CKPT, cfg)
 
-W = H = 400
+W = H = int(os.environ.get("BENCH_RES", "400"))
 f = 0.5 * W / np.tan(np.radians(32.0) / 2)
 K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
 

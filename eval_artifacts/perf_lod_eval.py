@@ -62,7 +62,7 @@ rows = {"exact": {"seconds_per_view": t_exact,
 print("exact", json.dumps(rows["exact"]), flush=True)
 
 MATRIX = ([(12, 32)] if os.environ.get("LOD_SMOKE") else
-          [(12, 32), (16, 32), (12, 24), (8, 32)])
+          [(12, 32), (16, 32), (12, 24), (8, 32), (12, 48)])
 for cl, k in MATRIX:
     (img, _, _), t_lod = timed({"lod": (cl, k)})
     rows[f"lod_c{cl}_k{k}"] = {

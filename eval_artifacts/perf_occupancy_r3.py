@@ -11,7 +11,7 @@ This script measures the update cost and the amortized step overhead at
 grid_update_every = 8 (reference cadence) vs 16/32 on the settled
 operating point.
 """
-import sys, time, json
+import sys, os, time, json
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -58,6 +58,8 @@ out = {
             "cost and cadence. In DP mode the probe evals are sharded "
             "over the mesh (make_dp_occupancy_update).",
 }
-with open("/root/repo/eval_artifacts/perf_occupancy_r3.json", "w") as f:
+OUT = os.environ.get("EVAL_OUT", "/root/repo/eval_artifacts")
+os.makedirs(OUT, exist_ok=True)
+with open(os.path.join(OUT, "perf_occupancy_r3.json"), "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out), flush=True)
