@@ -31,8 +31,13 @@ inv_s = jnp.asarray(2981.0)
 key = jax.random.PRNGKey(1)
 key, k = jax.random.split(key)
 grid = tps.occupancy_update(params, grid, k, it, inv_s, cfg)
-jax.block_until_ready(grid.occupancy)
+float(grid.occupancy.sum())  # host fetch = real sync
 
+# NOTE: sync via a host FETCH of a value data-dependent on the whole
+# chain, not jax.block_until_ready — on the axon remote transport
+# block_until_ready was observed to return without waiting for device
+# completion (first measurement read 0.4 ms/update, ~600x below the r2
+# device-trace number; the fetch-synced number is the honest one).
 N = 20
 best = None
 for _ in range(3):
@@ -41,7 +46,7 @@ for _ in range(3):
     for i in range(N):
         key, k = jax.random.split(key)
         g = tps.occupancy_update(params, g, k, it + i, inv_s, cfg)
-    jax.block_until_ready(g.occupancy)
+    float(g.occupancy.sum())  # host fetch = real sync
     w = (time.perf_counter() - t0) / N
     best = w if best is None else min(best, w)
 

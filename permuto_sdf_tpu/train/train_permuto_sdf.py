@@ -677,41 +677,23 @@ def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
                            cos_anneal_ratio, forced_variance, cfg=cfg)
 
 
-def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
-                        cos_anneal_ratio, forced_variance, *,
-                        cfg: PermutoSDFTrainConfig, coarse_levels: int = 12,
-                        top_k: int = 32):
-    """Volumetric eval render with per-sample level-LOD (PERFORMANCE.md
-    finding 20; the render-time half of SURVEY §7 hard-part 1's LOD idea).
-
-    NeuS weights concentrate at the surface crossing — most samples along
-    a ray carry ~zero weight yet the exact path pays full-resolution
-    encode + gradient + RGB for every one. Here:
-
-    1. coarse pass: SDF + gradient at the ``coarse_levels`` coarsest
-       encoding levels for ALL samples (the c2f-trained coarse levels
-       carry the geometry; fine levels add surface detail);
-    2. ``lax.top_k`` weights per ray select the samples that matter;
-    3. fine pass: full-resolution SDF gradient + RGB on the R*top_k
-       selected samples only;
-    4. weights are recomputed from MIXED dense arrays (fine sdf/grads
-       scattered over the coarse ones at the selected slots), so the
-       surface crossing uses full-resolution values; the dropped rgb mass
-       is the non-selected samples' (tiny) weight sum.
-
-    Exact only in the limit; the A/B on the trained flagship measures the
-    residual (eval_artifacts/perf_lod_eval.py). Tuned on the trained
-    flagship (CPU, 100^2): the binding knob is ``top_k`` — coarse weights
-    MISRANK near-crossing samples, so K must exceed the crossing's
-    coarse-weight spread (K=16 loses ~9 dB fg; K=32 of ~96 samples is
-    48 dB vs the exact render, i.e. visually identical, with
-    coarse_levels anywhere in 12-16). ``aux`` unused."""
+def _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
+                       cos_anneal_ratio, forced_variance, *,
+                       cfg: PermutoSDFTrainConfig, coarse_levels: int,
+                       top_k: int):
+    """Stage 1 of the LOD eval render: coarse-level SDF + NeuS weights for
+    every sample, ``top_k`` selection per ray, and the gathers the fine
+    stage consumes. Split out as its own jit program: the fused
+    coarse+fine graph SIGILLs XLA:TPU's priority-fusion cost model on this
+    toolchain (v5e, observed 2026-08-18 — PERFORMANCE.md finding 20), and
+    two smaller programs also compile faster. The split is at a natural
+    materialization point (the selected-sample arrays), so it costs one
+    extra dispatch and no recompute."""
     _, t_entry, _, t_exit, _ = BOUND.ray_intersection(origins, dirs)
     samples = _create_fg_samples(params, grid, jax.random.PRNGKey(0), origins,
                                  dirs, t_entry, t_exit, iter_nr_anneal, cfg,
                                  jitter=False)
     R, S = samples.mask.shape
-    M = R * S
     pos = samples.flat_positions()
     K = min(top_k, S)
 
@@ -732,6 +714,20 @@ def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
     sel_mask = jnp.take(samples.mask.reshape(-1), flat_ik)
     pos_k = pos[flat_ik]
     dirs_k = samples.flat_dirs()[flat_ik]
+    return (samples, sdf_c, grads_c, flat_ik, sel_mask, pos_k, dirs_k,
+            t_exit, inv_s)
+
+
+def _lod_fine_render(params, mid, origins, dirs, iter_nr_anneal,
+                     cos_anneal_ratio, forced_variance, *,
+                     cfg: PermutoSDFTrainConfig):
+    """Stage 2 of the LOD eval render: full-resolution SDF gradient + RGB
+    on the selected samples only, weights recomputed from the mixed dense
+    arrays, background composite. See :func:`_lod_coarse_select`."""
+    (samples, sdf_c, grads_c, flat_ik, sel_mask, pos_k, dirs_k,
+     t_exit, inv_s) = mid
+    R, S = samples.mask.shape
+    K = flat_ik.shape[0] // R
 
     sdf_k, grads_k, geom_k = sdf_with_gradient(
         params["sdf"], pos_k, iter_nr_anneal, cfg.sdf_model)
@@ -771,13 +767,76 @@ def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
     return pred_rgb, pred_normals, weights_sum
 
 
-render_rays_eval_lod = functools.partial(
+_lod_coarse_jit = functools.partial(
     jax.jit, static_argnames=("cfg", "coarse_levels", "top_k"))(
-    lambda params, grid, origins, dirs, iter_nr_anneal, cos_anneal_ratio,
-    forced_variance, cfg, coarse_levels=12, top_k=32:
-    _eval_render_fn_lod(params, grid, None, origins, dirs, iter_nr_anneal,
-                        cos_anneal_ratio, forced_variance, cfg=cfg,
-                        coarse_levels=coarse_levels, top_k=top_k))
+    lambda params, grid, origins, dirs, it, cos, fv, cfg, coarse_levels,
+    top_k: _lod_coarse_select(params, grid, origins, dirs, it, cos, fv,
+                              cfg=cfg, coarse_levels=coarse_levels,
+                              top_k=top_k))
+
+_lod_fine_jit = functools.partial(jax.jit, static_argnames=("cfg",))(
+    lambda params, mid, origins, dirs, it, cos, fv, cfg:
+    _lod_fine_render(params, mid, origins, dirs, it, cos, fv, cfg=cfg))
+
+
+def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
+                        cos_anneal_ratio, forced_variance, *,
+                        cfg: PermutoSDFTrainConfig, coarse_levels: int = 12,
+                        top_k: int = 32):
+    """Volumetric eval render with per-sample level-LOD (PERFORMANCE.md
+    finding 20; the render-time half of SURVEY §7 hard-part 1's LOD idea).
+
+    NeuS weights concentrate at the surface crossing — most samples along
+    a ray carry ~zero weight yet the exact path pays full-resolution
+    encode + gradient + RGB for every one. Here:
+
+    1. coarse pass: SDF + gradient at the ``coarse_levels`` coarsest
+       encoding levels for ALL samples (the c2f-trained coarse levels
+       carry the geometry; fine levels add surface detail);
+    2. ``lax.top_k`` weights per ray select the samples that matter;
+    3. fine pass: full-resolution SDF gradient + RGB on the R*top_k
+       selected samples only;
+    4. weights are recomputed from MIXED dense arrays (fine sdf/grads
+       scattered over the coarse ones at the selected slots), so the
+       surface crossing uses full-resolution values; the dropped rgb mass
+       is the non-selected samples' (tiny) weight sum.
+
+    Exact only in the limit; the A/B on the trained flagship measures the
+    residual (eval_artifacts/perf_lod_eval.py). Tuned on the trained
+    flagship (CPU, 100^2): the binding knob is ``top_k`` — coarse weights
+    MISRANK near-crossing samples, so K must exceed the crossing's
+    coarse-weight spread (K=16 loses ~9 dB fg; K=32 of ~96 samples is
+    48 dB vs the exact render, i.e. visually identical, with
+    coarse_levels anywhere in 12-16). ``aux`` unused.
+
+    This single-graph form exists for the shard_map DP renderer; the
+    single-device entry :func:`render_rays_eval_lod` dispatches the two
+    stages as separate programs (see :func:`_lod_coarse_select`)."""
+    mid = _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
+                             cos_anneal_ratio, forced_variance, cfg=cfg,
+                             coarse_levels=coarse_levels, top_k=top_k)
+    return _lod_fine_render(params, mid, origins, dirs, iter_nr_anneal,
+                            cos_anneal_ratio, forced_variance, cfg=cfg)
+
+
+def render_rays_eval_lod(params, grid, origins, dirs, iter_nr_anneal,
+                         cos_anneal_ratio, forced_variance, cfg,
+                         coarse_levels=12, top_k=32):
+    """Two-dispatch LOD eval render (coarse-select program, fine program).
+
+    Same math as :func:`_eval_render_fn_lod`; split so the XLA:TPU
+    priority-fusion crash on the fused graph cannot take down the viewer
+    (and the two halves compile faster)."""
+    mid = _lod_coarse_jit(params, grid, origins, dirs, iter_nr_anneal,
+                          cos_anneal_ratio, forced_variance, cfg,
+                          coarse_levels, top_k)
+    return _lod_fine_jit(params, mid, origins, dirs, iter_nr_anneal,
+                         cos_anneal_ratio, forced_variance, cfg)
+
+
+# incremented whenever a requested LOD render fell back to the exact path
+# (XLA:TPU compile crash) — lets callers/benchmarks detect the substitution
+LOD_FALLBACK_COUNT = 0
 
 
 def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
@@ -799,6 +858,7 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
     single-GPU, src/PermutoSDF.cu:75-78). ``chunk`` stays the PER-DEVICE
     chunk size.
     """
+    global LOD_FALLBACK_COUNT
     from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
 
     if cfg.render_sample_budget is not None:
@@ -828,9 +888,23 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
         # small frames: don't pad to the full per-device chunk pitch
         chunk_local = min(chunk, -(-n // mesh.devices.size))
         # pad rays start outside the bound pointing away -> no work
-        rgb, nrm, alpha = dp_render_chunked(
-            renderer, mesh, params, grid, None, origins, dirs, scalars,
-            chunk_local)
+        try:
+            rgb, nrm, alpha = dp_render_chunked(
+                renderer, mesh, params, grid, None, origins, dirs, scalars,
+                chunk_local)
+        except jax.errors.JaxRuntimeError as e:
+            if not lod:
+                raise
+            # the fused LOD graph can crash the XLA:TPU compiler's
+            # priority-fusion pass (observed v5e 2026-08-18); the viewer
+            # must not die with it — render exact instead
+            LOD_FALLBACK_COUNT += 1
+            print(f"[render_image] LOD DP compile failed ({e!r:.200}); "
+                  "falling back to exact render", flush=True)
+            renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
+            rgb, nrm, alpha = dp_render_chunked(
+                renderer, mesh, params, grid, None, origins, dirs, scalars,
+                chunk_local)
         return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
                 alpha.reshape(height, width, 1))
 
@@ -847,11 +921,25 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
     # dispatch every chunk before fetching any: JAX dispatch is async, so
     # the device renders chunk i+1 while the host pulls chunk i through
     # the (slow — finding 11) transport instead of idling between chunks
-    outs = [
-        render_fn(params, grid, origins[i : i + chunk], dirs[i : i + chunk],
-                  iter_nr_anneal, 1.0, forced_variance, cfg, **lod_kw)
-        for i in range(0, n + pad, chunk)
-    ]
+    try:
+        outs = [
+            render_fn(params, grid, origins[i : i + chunk],
+                      dirs[i : i + chunk], iter_nr_anneal, 1.0,
+                      forced_variance, cfg, **lod_kw)
+            for i in range(0, n + pad, chunk)
+        ]
+    except jax.errors.JaxRuntimeError as e:
+        if not lod:
+            raise
+        LOD_FALLBACK_COUNT += 1
+        print(f"[render_image] LOD compile failed ({e!r:.200}); "
+              "falling back to exact render", flush=True)
+        outs = [
+            render_rays_eval(params, grid, origins[i : i + chunk],
+                             dirs[i : i + chunk], iter_nr_anneal, 1.0,
+                             forced_variance, cfg)
+            for i in range(0, n + pad, chunk)
+        ]
     rgb = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
     nrm = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
     alpha = np.concatenate([np.asarray(o[2]) for o in outs])[:n]

@@ -425,11 +425,32 @@ def test_lod_eval_render_agrees_with_exact(tiny_reel):
     exact = t.render_image(params, grid, tiny_reel.K[0],
                            tiny_reel.tf_world_cam[0], W, H, 10000, cfg,
                            forced_variance=0.8, chunk=256)
-    lod = t.render_image(params, grid, tiny_reel.K[0],
-                         tiny_reel.tf_world_cam[0], W, H, 10000, cfg,
-                         forced_variance=0.8, chunk=256, lod=(2, 8))
-    rgb_d = np.abs(np.asarray(exact[0]) - np.asarray(lod[0]))
-    a_d = np.abs(np.asarray(exact[2]) - np.asarray(lod[2]))
-    assert rgb_d.mean() < 0.01, rgb_d.mean()
-    assert rgb_d.max() < 0.15, rgb_d.max()   # isolated silhouette pixels
-    assert a_d.max() < 0.1, a_d.max()
+
+    # (a) machinery check: with coarse_levels == nr_levels the coarse pass
+    # IS the full model, so selection+mixing+recompute must reproduce the
+    # exact render up to float noise (top-16 of 32 samples carries all the
+    # NeuS weight mass). This pins the top-K gather/scatter plumbing.
+    # (Meaningful since 5aa311c: before it the DP dispatch dropped the LOD
+    # settings, so this render silently ran the exact path.)
+    lod_m = t.render_image(params, grid, tiny_reel.K[0],
+                           tiny_reel.tf_world_cam[0], W, H, 10000, cfg,
+                           forced_variance=0.8, chunk=256, lod=(4, 16))
+    rgb_d = np.abs(np.asarray(exact[0]) - np.asarray(lod_m[0]))
+    a_d = np.abs(np.asarray(exact[2]) - np.asarray(lod_m[2]))
+    assert rgb_d.max() < 1e-2, rgb_d.max()
+    assert a_d.max() < 1e-2, a_d.max()
+
+    # (b) approximation sanity at an aggressive micro-scale point (2 of 4
+    # coarse levels): the coarse SDF can MISS the crossing on silhouette
+    # rays entirely (alpha flips), so the contract is loose — tiny mean
+    # error, rare outliers. Production-scale quality (48 dB vs exact at
+    # coarse 12 / top-32 on the trained flagship) is measured by
+    # eval_artifacts/perf_lod_eval.py, not here.
+    lod_a = t.render_image(params, grid, tiny_reel.K[0],
+                           tiny_reel.tf_world_cam[0], W, H, 10000, cfg,
+                           forced_variance=0.8, chunk=256, lod=(2, 16))
+    rgb_d = np.abs(np.asarray(exact[0]) - np.asarray(lod_a[0]))
+    a_d = np.abs(np.asarray(exact[2]) - np.asarray(lod_a[2]))
+    assert rgb_d.mean() < 0.02, rgb_d.mean()
+    assert np.mean(rgb_d.max(-1) > 0.15) < 0.03, np.mean(rgb_d.max(-1) > 0.15)
+    assert np.mean(a_d > 0.15) < 0.05, np.mean(a_d > 0.15)
