@@ -45,25 +45,34 @@ def uninterleave(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _dp_renderer_cache(render_fn, mesh, n_outputs: int, static_kwargs):
+def _dp_renderer_cache(render_fn, mesh, n_outputs, static_kwargs,
+                       aux_sharded: bool, tree_output: bool):
     kw = dict(static_kwargs)
+    strip = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
+    expand = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
 
     def body(params, grid, aux_tree, origins, dirs, scalars):
-        outs = render_fn(params, grid, aux_tree, origins[0], dirs[0],
+        aux = strip(aux_tree) if aux_sharded else aux_tree
+        outs = render_fn(params, grid, aux, origins[0], dirs[0],
                          *scalars, **kw)
+        if tree_output:
+            return expand(outs)
         return tuple(o[None] for o in outs)
 
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
-        out_specs=(P(RAY_AXIS),) * n_outputs,
+        in_specs=(P(), P(), P(RAY_AXIS) if aux_sharded else P(),
+                  P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS) if tree_output else (P(RAY_AXIS),) * n_outputs,
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
-def make_dp_ray_renderer(render_fn, mesh, n_outputs: int = 3, **static_kwargs):
+def make_dp_ray_renderer(render_fn, mesh, n_outputs: int | None = 3,
+                         aux_sharded: bool = False, tree_output: bool = False,
+                         **static_kwargs):
     """Build a jitted multi-chip ray renderer.
 
     ``render_fn(params, grid, aux_tree, origins [C,3], dirs [C,3],
@@ -74,11 +83,17 @@ def make_dp_ray_renderer(render_fn, mesh, n_outputs: int = 3, **static_kwargs):
     scalars_tuple)`` with rays pre-sharded via :func:`interleave_shard`
     and returns [D, C, ...] outputs.
 
-    ``aux_tree`` carries any extra replicated arrays (e.g. a Chebyshev
-    distance field); pass ``None`` when unused.
+    ``aux_tree`` carries extra arrays — replicated by default (e.g. a
+    Chebyshev distance field; pass ``None`` when unused), or RAY-SHARDED
+    leaves ([D, C, ...] each) with ``aux_sharded=True`` (used to pipe a
+    stage-1 result into a stage-2 renderer, e.g. the two-program LOD eval
+    render). ``tree_output=True`` returns an arbitrary pytree whose leaves
+    are all ray-leading (sharded with a P(RAY_AXIS) prefix spec) instead
+    of a tuple of ``n_outputs`` arrays.
     """
     return _dp_renderer_cache(render_fn, mesh, n_outputs,
-                              tuple(sorted(static_kwargs.items())))
+                              tuple(sorted(static_kwargs.items())),
+                              aux_sharded, tree_output)
 
 
 def dp_render_chunked(renderer, mesh, params, grid, aux_tree, origins, dirs,

@@ -688,7 +688,12 @@ def _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
     toolchain (v5e, observed 2026-08-18 — PERFORMANCE.md finding 20), and
     two smaller programs also compile faster. The split is at a natural
     materialization point (the selected-sample arrays), so it costs one
-    extra dispatch and no recompute."""
+    extra dispatch and no recompute.
+
+    Returns a dict of RAY-LEADING arrays (every leaf has leading dim R) so
+    the same two stages shard over the device mesh as two shard_map
+    programs (the DP path must never compile the fused graph — a compiler
+    SIGILL kills the process and cannot be caught)."""
     _, t_entry, _, t_exit, _ = BOUND.ray_intersection(origins, dirs)
     samples = _create_fg_samples(params, grid, jax.random.PRNGKey(0), origins,
                                  dirs, t_entry, t_exit, iter_nr_anneal, cfg,
@@ -712,10 +717,16 @@ def _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
     _, ik = jax.lax.top_k(jnp.where(samples.mask, w_c, -1.0), K)  # [R, K]
     flat_ik = (jnp.arange(R)[:, None] * S + ik).reshape(-1)
     sel_mask = jnp.take(samples.mask.reshape(-1), flat_ik)
-    pos_k = pos[flat_ik]
-    dirs_k = samples.flat_dirs()[flat_ik]
-    return (samples, sdf_c, grads_c, flat_ik, sel_mask, pos_k, dirs_k,
-            t_exit, inv_s)
+    return {
+        "samples": samples,
+        "sdf_c": sdf_c.reshape(R, S),
+        "grads_c": grads_c.reshape(R, S, 3),
+        "ik": ik,
+        "sel_mask": sel_mask.reshape(R, K),
+        "pos_k": pos[flat_ik].reshape(R, K, 3),
+        "dirs_k": samples.flat_dirs()[flat_ik].reshape(R, K, 3),
+        "t_exit": t_exit,
+    }
 
 
 def _lod_fine_render(params, mid, origins, dirs, iter_nr_anneal,
@@ -724,10 +735,17 @@ def _lod_fine_render(params, mid, origins, dirs, iter_nr_anneal,
     """Stage 2 of the LOD eval render: full-resolution SDF gradient + RGB
     on the selected samples only, weights recomputed from the mixed dense
     arrays, background composite. See :func:`_lod_coarse_select`."""
-    (samples, sdf_c, grads_c, flat_ik, sel_mask, pos_k, dirs_k,
-     t_exit, inv_s) = mid
+    samples = mid["samples"]
     R, S = samples.mask.shape
-    K = flat_ik.shape[0] // R
+    K = mid["ik"].shape[1]
+    flat_ik = (jnp.arange(R)[:, None] * S + mid["ik"]).reshape(-1)
+    sdf_c = mid["sdf_c"].reshape(-1)
+    grads_c = mid["grads_c"].reshape(-1, 3)
+    sel_mask = mid["sel_mask"].reshape(-1)
+    pos_k = mid["pos_k"].reshape(-1, 3)
+    dirs_k = mid["dirs_k"].reshape(-1, 3)
+    t_exit = mid["t_exit"]
+    inv_s = vr.variance_inv_s(params["variance"], forced_variance)
 
     sdf_k, grads_k, geom_k = sdf_with_gradient(
         params["sdf"], pos_k, iter_nr_anneal, cfg.sdf_model)
@@ -809,12 +827,33 @@ def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
     48 dB vs the exact render, i.e. visually identical, with
     coarse_levels anywhere in 12-16). ``aux`` unused.
 
-    This single-graph form exists for the shard_map DP renderer; the
-    single-device entry :func:`render_rays_eval_lod` dispatches the two
+    This fused single-graph form is NOT dispatched by any production path
+    (it is the graph shape that crashes the compiler); it exists for the
+    skipped-by-default toolchain canary test
+    (tests/test_xla_canaries.py) so the two-program split can be retired
+    the day the compiler stops crashing on it. Both the single-device
+    entry :func:`render_rays_eval_lod` and the DP path dispatch the two
     stages as separate programs (see :func:`_lod_coarse_select`)."""
     mid = _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
                              cos_anneal_ratio, forced_variance, cfg=cfg,
                              coarse_levels=coarse_levels, top_k=top_k)
+    return _lod_fine_render(params, mid, origins, dirs, iter_nr_anneal,
+                            cos_anneal_ratio, forced_variance, cfg=cfg)
+
+
+def _lod_coarse_body(params, grid, aux, origins, dirs, iter_nr_anneal,
+                     cos_anneal_ratio, forced_variance, *, cfg,
+                     coarse_levels, top_k):
+    """DP body adapter for stage 1 (``aux`` unused). Every output leaf is
+    ray-leading, so the whole mid tree shards with a P(RAY_AXIS) prefix."""
+    return _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
+                              cos_anneal_ratio, forced_variance, cfg=cfg,
+                              coarse_levels=coarse_levels, top_k=top_k)
+
+
+def _lod_fine_body(params, grid, mid, origins, dirs, iter_nr_anneal,
+                   cos_anneal_ratio, forced_variance, *, cfg):
+    """DP body adapter for stage 2; ``mid`` arrives ray-sharded."""
     return _lod_fine_render(params, mid, origins, dirs, iter_nr_anneal,
                             cos_anneal_ratio, forced_variance, cfg=cfg)
 
@@ -837,6 +876,12 @@ def render_rays_eval_lod(params, grid, origins, dirs, iter_nr_anneal,
 # incremented whenever a requested LOD render fell back to the exact path
 # (XLA:TPU compile crash) — lets callers/benchmarks detect the substitution
 LOD_FALLBACK_COUNT = 0
+
+# memoized failures: failed compiles are not cached by JAX, so without this
+# an interactive viewer would re-pay the full failing-compile cost on every
+# frame before falling back again. Keyed on everything that changes the
+# compiled graph shape.
+_LOD_FAILED_KEYS: set = set()
 
 
 def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
@@ -876,17 +921,30 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
             make_dp_ray_renderer, dp_render_chunked,
         )
 
-        if lod:
-            lod_kw = ({"coarse_levels": lod[0], "top_k": lod[1]}
-                      if isinstance(lod, tuple) else {})
-            renderer = make_dp_ray_renderer(
-                _eval_render_fn_lod, mesh, 3, cfg=cfg, **lod_kw)
-        else:
-            renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
         scalars = (jnp.asarray(iter_nr_anneal), jnp.asarray(1.0),
                    jnp.asarray(forced_variance))
         # small frames: don't pad to the full per-device chunk pitch
         chunk_local = min(chunk, -(-n // mesh.devices.size))
+        fail_key = ("dp", cfg, lod if not isinstance(lod, list) else tuple(lod),
+                    chunk_local, mesh.devices.size)
+        if lod and fail_key in _LOD_FAILED_KEYS:
+            lod = False  # known-failing shape: go straight to exact
+        if lod:
+            # two shard_map programs (never the fused graph — a compiler
+            # SIGILL kills the whole process, so the DP path must not even
+            # attempt the graph shape documented to crash priority fusion)
+            lod_kw = ({"coarse_levels": lod[0], "top_k": lod[1]}
+                      if isinstance(lod, tuple) else {})
+            stage_a = make_dp_ray_renderer(
+                _lod_coarse_body, mesh, tree_output=True, cfg=cfg, **lod_kw)
+            stage_b = make_dp_ray_renderer(
+                _lod_fine_body, mesh, 3, aux_sharded=True, cfg=cfg)
+
+            def renderer(p, g, _aux, o, v, s):
+                mid = stage_a(p, g, None, o, v, s)
+                return stage_b(p, g, mid, o, v, s)
+        else:
+            renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
         # pad rays start outside the bound pointing away -> no work
         try:
             rgb, nrm, alpha = dp_render_chunked(
@@ -895,11 +953,12 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
         except jax.errors.JaxRuntimeError as e:
             if not lod:
                 raise
-            # the fused LOD graph can crash the XLA:TPU compiler's
-            # priority-fusion pass (observed v5e 2026-08-18); the viewer
-            # must not die with it — render exact instead
+            # even split into two programs, an LOD stage can fail at
+            # compile or execution time; the viewer must not die with it —
+            # render exact instead and remember the failing shape
             LOD_FALLBACK_COUNT += 1
-            print(f"[render_image] LOD DP compile failed ({e!r:.200}); "
+            _LOD_FAILED_KEYS.add(fail_key)
+            print(f"[render_image] LOD DP render failed ({e!r:.200}); "
                   "falling back to exact render", flush=True)
             renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
             rgb, nrm, alpha = dp_render_chunked(
@@ -911,6 +970,10 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
     pad = (-n) % chunk
     origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
     dirs = jnp.concatenate([dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+    fail_key = ("1dev", cfg, lod if not isinstance(lod, list) else tuple(lod),
+                chunk)
+    if lod and fail_key in _LOD_FAILED_KEYS:
+        lod = False  # known-failing shape: go straight to exact
     lod_kw = {}
     if lod:
         render_fn = render_rays_eval_lod
@@ -918,31 +981,33 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
             lod_kw = {"coarse_levels": lod[0], "top_k": lod[1]}
     else:
         render_fn = render_rays_eval
-    # dispatch every chunk before fetching any: JAX dispatch is async, so
-    # the device renders chunk i+1 while the host pulls chunk i through
-    # the (slow — finding 11) transport instead of idling between chunks
-    try:
+
+    def _run(fn, kw):
+        # dispatch every chunk before fetching any: JAX dispatch is async,
+        # so the device renders chunk i+1 while the host pulls chunk i
+        # through the (slow — finding 11) transport instead of idling.
+        # The np.asarray fetches stay INSIDE the caller's try: dispatch is
+        # async, so execution-time failures surface at fetch time.
         outs = [
-            render_fn(params, grid, origins[i : i + chunk],
-                      dirs[i : i + chunk], iter_nr_anneal, 1.0,
-                      forced_variance, cfg, **lod_kw)
+            fn(params, grid, origins[i : i + chunk], dirs[i : i + chunk],
+               iter_nr_anneal, 1.0, forced_variance, cfg, **kw)
             for i in range(0, n + pad, chunk)
         ]
+        rgb = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
+        nrm = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+        alpha = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+        return rgb, nrm, alpha
+
+    try:
+        rgb, nrm, alpha = _run(render_fn, lod_kw)
     except jax.errors.JaxRuntimeError as e:
         if not lod:
             raise
         LOD_FALLBACK_COUNT += 1
-        print(f"[render_image] LOD compile failed ({e!r:.200}); "
+        _LOD_FAILED_KEYS.add(fail_key)
+        print(f"[render_image] LOD render failed ({e!r:.200}); "
               "falling back to exact render", flush=True)
-        outs = [
-            render_rays_eval(params, grid, origins[i : i + chunk],
-                             dirs[i : i + chunk], iter_nr_anneal, 1.0,
-                             forced_variance, cfg)
-            for i in range(0, n + pad, chunk)
-        ]
-    rgb = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
-    nrm = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
-    alpha = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+        rgb, nrm, alpha = _run(render_rays_eval, {})
     return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
             alpha.reshape(height, width, 1))
 
