@@ -69,8 +69,7 @@ bary = jax.random.uniform(jax.random.PRNGKey(1), (L, V, N))
 
 tab_f = jax.random.uniform(jax.random.PRNGKey(2), (L, 2, C))  # feature-major
 tab_rows = jnp.moveaxis(tab_f, 1, 2).reshape(L * C, 2)  # row layout
-tab_u32 = jax.random.randint(jax.random.PRNGKey(3), (L * C,), 0, 2 ** 31,
-                             dtype=jnp.uint32)
+tab_u32 = jax.random.bits(jax.random.PRNGKey(3), (L * C,), jnp.uint32)
 tab_rows4 = jax.random.uniform(jax.random.PRNGKey(4), (L * C, 4))
 
 

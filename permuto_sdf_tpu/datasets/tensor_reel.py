@@ -29,6 +29,12 @@ class TensorReel:
     mask: Optional[jnp.ndarray]  # [N, H, W, 1] float32 / uint8 or None
     K: jnp.ndarray  # [N, 3, 3] intrinsics
     tf_world_cam: jnp.ndarray  # [N, 4, 4] camera-to-world transforms
+    # Global image ids [N] int32 — only set on device-local SHARDS of a
+    # bigger reel (see :func:`shard_reel`), where row i is globally image
+    # img_ids[i]; None = identity (rows are globally numbered already).
+    # Consumers that key per-image state (colorcal) always receive global
+    # ids from the ray samplers.
+    img_ids: Optional[jnp.ndarray] = None
 
     @property
     def nr_images(self) -> int:
@@ -66,6 +72,37 @@ def _dequant(x):
     if x.dtype == jnp.uint8:
         return x.astype(jnp.float32) / 255.0
     return x
+
+
+def shard_reel(reel: TensorReel, n_devices: int) -> TensorReel:
+    """Prepare a reel for image-sharded data-parallel training: each
+    device will hold only ``ceil(N / D)`` of the images instead of a full
+    replica (SURVEY §2.3/§5.8's host-sharded reel — the memory-scaling
+    upgrade over replication; the reference is single-GPU,
+    ``src/PermutoSDF.cu:67-112``).
+
+    Returns a reel whose image axis is padded to ``D * L`` by wrapping
+    (images 0.. fill the remainder) with ``img_ids`` recording each row's
+    global image id. Under ``shard_map`` with the reel's leaves sharded on
+    axis 0, every device sees a valid local TensorReel of L images and
+    samples rays only from it — no gather/all-to-all of pixel data ever
+    happens. Per-ray loss expectation is unchanged when ``N % D == 0``
+    (each image is equally likely overall); with wrap padding the first
+    ``D*L - N`` images are sampled at most one shard-slot more often —
+    negligible against the reference's own uniform-view sampling noise,
+    and exact whenever N is a multiple of D.
+    """
+    n = reel.nr_images
+    L = -(-n // n_devices)
+    ids = jnp.arange(n_devices * L, dtype=jnp.int32) % n
+    take = lambda x: jnp.take(x, ids, axis=0)
+    return TensorReel(
+        rgb=take(reel.rgb),
+        mask=None if reel.mask is None else take(reel.mask),
+        K=take(reel.K),
+        tf_world_cam=take(reel.tf_world_cam),
+        img_ids=(take(reel.img_ids) if reel.img_ids is not None else ids),
+    )
 
 
 def random_rays_from_reel(reel: TensorReel, key, nr_rays: int,
@@ -110,6 +147,8 @@ def random_rays_from_reel(reel: TensorReel, key, nr_rays: int,
             gt_rgb = gt_rgb * gt_mask
     else:
         gt_mask = jnp.ones((nr_rays, 1), gt_rgb.dtype)
+    if reel.img_ids is not None:  # sharded reel: report GLOBAL image ids
+        img_idx = jnp.take(reel.img_ids, img_idx)
     return t, dirs, gt_rgb, gt_mask, img_idx
 
 
@@ -168,6 +207,8 @@ def rays_from_reprojection_reel(reel: TensorReel, key, points_reprojected,
             gt_rgb = gt_rgb * gt_mask
     else:
         gt_mask = jnp.ones((n_pts, 1), gt_rgb.dtype)
+    if reel.img_ids is not None:  # sharded reel: report GLOBAL image ids
+        img_idx = jnp.take(reel.img_ids, img_idx)
     return t_wc, dirs, gt_rgb, gt_mask, img_idx
 
 

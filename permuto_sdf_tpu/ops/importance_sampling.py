@@ -43,6 +43,7 @@ def importance_sampling_sdf_model(
     nr_imp_samples: int = 16,
     jitter: bool = True,
     masked: bool = False,
+    carry_sdf: bool = False,
 ) -> RaySamples:
     """sdf_fn: flat [N,3] -> [N] or [N,1] sdf. Returns merged samples with
     max_samples = samples.max_samples + 2*nr_imp_samples.
@@ -51,7 +52,14 @@ def importance_sampling_sdf_model(
     ``sdf_fn(pts_flat, flat_mask)`` so the caller can evaluate only the
     valid samples (static-budget compaction — see
     train_permuto_sdf.run_net); invalid slots must report far-from-surface
-    values."""
+    values.
+
+    ``carry_sdf=True`` evaluates the round-2 importance samples too and
+    returns the merged set WITH its proxy sdf values (the reference
+    instead calls remove_sdf before the final merge,
+    ``sdf_utils.py:414-417``, because its renderer re-evaluates
+    everything). The train-time LOD path uses the carried values to rank
+    samples per ray without any extra full-resolution evaluation."""
     k1, k2 = jax.random.split(key)
     if masked:
         eval_sdf = sdf_fn
@@ -72,10 +80,15 @@ def importance_sampling_sdf_model(
     # round 2: inv_s_multiplier = 2 on the combined set (sdf already carried)
     cdf2 = _weights_cdf(combined, combined.sdf, inv_s_multiplier=2.0)
     imp2 = vr.importance_sample(combined, cdf2, nr_imp_samples, key=k2, jitter=jitter)
-    # reference drops the sdf before the final merge (remove_sdf) — the final
-    # set is re-evaluated by the renderer anyway
     import dataclasses
 
+    if carry_sdf:
+        sdf_imp2 = eval_sdf(imp2.flat_positions(),
+                            imp2.flat_mask()).reshape(imp2.mask.shape)
+        imp2 = imp2.with_sdf(sdf_imp2)
+        return vr.combine_uniform_samples_with_imp(combined, imp2, t_exit)
+    # reference drops the sdf before the final merge (remove_sdf) — the final
+    # set is re-evaluated by the renderer anyway
     combined = dataclasses.replace(combined, sdf=None)
     imp2 = dataclasses.replace(imp2, sdf=None)
     return vr.combine_uniform_samples_with_imp(combined, imp2, t_exit)

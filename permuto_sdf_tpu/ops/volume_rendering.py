@@ -148,21 +148,19 @@ def sdf2alpha_sectional(samples: RaySamples, sdf, inv_s: float = 512.0,
 # NeuS weights (volume_rendering_modules.py:115-183)
 # ---------------------------------------------------------------------------
 
-def neus_compute_weights(samples: RaySamples, sdf, sdf_gradients, inv_s,
-                         cos_anneal_ratio):
-    """Full NeuS weight computation with analytic cos and annealing.
-
-    sdf [R*S or R,S], sdf_gradients [R*S, 3]. Returns
-    (weights [R, S], weights_sum [R, 1], bg_transmittance [R]).
-    """
+def neus_compute_weights_from_cos(samples: RaySamples, sdf, true_cos, inv_s,
+                                  cos_anneal_ratio):
+    """NeuS weights from sdf values and a per-sample directional derivative
+    ``true_cos = dir . grad(sdf)`` [R, S] (however estimated — analytic
+    gradients, or a finite difference of consecutive sample sdf values for
+    samples whose full-resolution gradient was never computed: the
+    train-time LOD path). Returns (weights [R, S], weights_sum [R, 1],
+    bg_transmittance [R])."""
     mask = samples.mask
     R, S = mask.shape
     sdf = sdf.reshape(R, S)
-    grads = sdf_gradients.reshape(R, S, 3)
-    dirs = samples.dirs[:, None, :]
     dists = samples.dt
 
-    true_cos = jnp.sum(dirs * grads, axis=-1)  # [R, S]
     iter_cos = -(
         jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
         + jax.nn.relu(-true_cos) * cos_anneal_ratio
@@ -179,6 +177,34 @@ def neus_compute_weights(samples: RaySamples, sdf, sdf_gradients, inv_s,
     weights = alpha * T
     weights_sum = jnp.sum(jnp.where(mask, weights, 0.0), axis=-1, keepdims=True)
     return weights, weights_sum, bg_T
+
+
+def finite_difference_cos(samples: RaySamples, sdf):
+    """Estimate ``dir . grad(sdf)`` per sample from consecutive sample sdf
+    values along the ray: ``(sdf_{i+1} - sdf_i) / dt_i`` (the same section
+    slope the reference's gradient-free ``sdf2alpha`` uses,
+    ``VolumeRenderingGPU.cuh:490-564``). The last valid sample reuses a
+    zero slope (its alpha contribution is ~0, matching the CUDA loop that
+    stops at nr-1)."""
+    sdf = sdf.reshape(samples.mask.shape)
+    sdf_next = jnp.concatenate([sdf[:, 1:], sdf[:, -1:]], axis=-1)
+    return (sdf_next - sdf) / jnp.maximum(samples.dt, 1e-6)
+
+
+def neus_compute_weights(samples: RaySamples, sdf, sdf_gradients, inv_s,
+                         cos_anneal_ratio):
+    """Full NeuS weight computation with analytic cos and annealing.
+
+    sdf [R*S or R,S], sdf_gradients [R*S, 3]. Returns
+    (weights [R, S], weights_sum [R, 1], bg_transmittance [R]).
+    """
+    mask = samples.mask
+    R, S = mask.shape
+    grads = sdf_gradients.reshape(R, S, 3)
+    dirs = samples.dirs[:, None, :]
+    true_cos = jnp.sum(dirs * grads, axis=-1)  # [R, S]
+    return neus_compute_weights_from_cos(samples, sdf, true_cos, inv_s,
+                                         cos_anneal_ratio)
 
 
 def nerf_compute_weights(samples: RaySamples, density):

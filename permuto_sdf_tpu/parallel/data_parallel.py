@@ -42,6 +42,7 @@ def make_dp_train_step(
     cfg,
     optimizer,
     aux_is_dict: bool = True,
+    reel_sharded: bool = False,
 ):
     """Build a jitted multi-chip train step.
 
@@ -50,7 +51,14 @@ def make_dp_train_step(
     already hold the *per-device* nr_rays).
     ``apply_updates(params, opt_state, grads, iter_nr, cfg, optimizer)``
     returns ``(params, opt_state)``.
+
+    ``reel_sharded=True``: the reel's image axis is SHARDED over the mesh
+    (each device holds 1/D of the images — prepare with
+    :func:`permuto_sdf_tpu.datasets.tensor_reel.shard_reel`) instead of
+    replicated; each device samples rays only from its local shard. Ray
+    gradients still pmean over ICI; no pixel data ever crosses devices.
     """
+    reel_spec = P(RAY_AXIS) if reel_sharded else P()
 
     def _per_device(params, opt_state, grid, reel, keys, iter_nr):
         key = keys[0]  # this device's shard of the key array, shape [1, 2]
@@ -69,7 +77,7 @@ def make_dp_train_step(
     sharded = shard_map(
         _per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P()),
+        in_specs=(P(), P(), P(), reel_spec, P(RAY_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )

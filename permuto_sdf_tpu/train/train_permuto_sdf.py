@@ -132,6 +132,25 @@ class PermutoSDFTrainConfig:
     # subset. Reference behavior at curvature_sample_budget=None
     # (train_permuto_sdf.py:352-366 evaluates all samples).
     curvature_sample_budget: int | None = 16384
+    # Train-time per-sample level-of-detail (the training analog of the
+    # finding-20 eval LOD renderer — VERDICT r3 item 1b). The importance
+    # sampler already evaluates a (stop-gradient) proxy SDF at every
+    # sample it places; carrying those values through the final merge
+    # makes a per-ray ranking FREE: NeuS weights computed from the carried
+    # sdf with a finite-difference cos pick the ``train_lod_top_k``
+    # samples per ray that carry the rendering weight mass, and only
+    # those pay the full-resolution SDF-with-gradient + RGB evaluation
+    # (the dominant gather/scatter instance cost of the step —
+    # PERFORMANCE.md finding 14). Non-selected samples keep their carried
+    # sdf in the transmittance chain (stop-gradient, like the reference's
+    # no-grad sampling stage) with finite-difference cos. To keep the
+    # eikonal regularizer covering occupied space away from the surface
+    # (not just the weight-ranked crossing band), ``train_lod_rand_extra``
+    # uniformly random additional valid samples per ray join the
+    # full-resolution set. None = reference behavior (every valid sample
+    # at full resolution).
+    train_lod_top_k: int | None = None
+    train_lod_rand_extra: int = 8
     # SDF proxy level count for occupancy updates. The occupancy test
     # thresholds the NeuS logistic density of max(|sdf| - 1.3*half_diag, 0):
     # at 256^3 the half-diagonal is 3.4e-3 while levels >= 17 have scales
@@ -153,10 +172,30 @@ class PermutoSDFTrainConfig:
     enable_eikonal: bool = True
     enable_offsurface: bool = True
     enable_lipshitz: bool = True
+    # Row-2 f32 table gathers (fastest measured lookup form on v5e AND
+    # full precision — ops/permuto_encoding.py::row2_gather_pair,
+    # eval_artifacts/roofline2.json). Off = bf16-packed word gathers (the
+    # r2/r3 path), kept for A/B.
+    table_row_gather: bool = True
     # Sorted-scatter backward for the packed hash-table gathers: one
     # explicit multi-payload sort + indices_are_sorted segment-sums per
     # VJP instead of XLA's per-scatter internal sort (finding 18 A/B).
     sorted_scatter: bool = False
+    # Alternating-level table gradients: train() alternates
+    # table_grad_parity 0/1 per iteration so each step emits backward
+    # scatters for only half the hash-table levels (the dominant
+    # per-instance cost — finding 14); every level still updates every
+    # second step. Two compiled step variants. See
+    # PermutoEncodingSpec.grad_level_parity.
+    table_grad_alternate: bool = False
+    table_grad_parity: int | None = None  # driven by train(), not by hand
+    # Coarse-to-fine level skipping (VERDICT r3 item 1a): during the SDF's
+    # c2f ease-in, levels whose window weight is still exactly 0 pay no
+    # gathers — train() drives sdf_active_levels from the c2f front,
+    # quantized UP to multiples of 4 (so nothing nonzero is ever clipped
+    # and the ease-in costs at most ceil(nr_levels/4) recompiles).
+    c2f_level_skip: bool = True
+    sdf_active_levels: int | None = None  # driven by train(), not by hand
 
     @property
     def iter_finish_reduce_curv(self) -> int:
@@ -170,6 +209,9 @@ class PermutoSDFTrainConfig:
             capacity=self.capacity, nr_levels=self.nr_levels,
             gradient_mode=self.sdf_gradient_mode,
             sorted_scatter=self.sorted_scatter,
+            table_row_gather=self.table_row_gather,
+            grad_level_parity=self.table_grad_parity,
+            active_levels=self.sdf_active_levels,
         )
 
     @property
@@ -179,6 +221,8 @@ class PermutoSDFTrainConfig:
             nr_iters_for_c2f=self.rgb_nr_iters_for_c2f,
             capacity=self.capacity, nr_levels=self.nr_levels,
             sorted_scatter=self.sorted_scatter,
+            table_row_gather=self.table_row_gather,
+            grad_level_parity=self.table_grad_parity,
         )
 
     @property
@@ -187,6 +231,8 @@ class PermutoSDFTrainConfig:
             in_channels=4, nr_iters_for_c2f=self.background_nr_iters_for_c2f,
             capacity=self.capacity, nr_levels=self.nr_levels,
             sorted_scatter=self.sorted_scatter,
+            table_row_gather=self.table_row_gather,
+            grad_level_parity=self.table_grad_parity,
         )
 
     @property
@@ -283,6 +329,7 @@ def _create_fg_samples(params, grid, key, origins, dirs, t_entry, t_exit,
         samples = importance_sampling_sdf_model(
             sdf_fn, samples, t_exit, k_imp, cfg.nr_samples_imp_sampling,
             jitter=jitter, masked=True,
+            carry_sdf=cfg.train_lod_top_k is not None,
         )
     return jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
 
@@ -326,15 +373,42 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
     sample quantities the losses consume: dict(pos [B,3], sdf [B],
     grads [B,3], valid [B])."""
     _, t_entry, _, t_exit, does_intersect = BOUND.ray_intersection(origins, dirs)
-    k_samp, k_bg = jax.random.split(key)
+    k_samp, k_bg, k_sel = jax.random.split(key, 3)
     samples = _create_fg_samples(params, grid, k_samp, origins, dirs, t_entry,
                                  t_exit, iter_nr_anneal, cfg, jitter)
     R, S = samples.mask.shape
     M = R * S
     budget = min(M, cfg.render_sample_budget) if cfg.render_sample_budget else M
+    inv_s = vr.variance_inv_s(params["variance"], forced_variance)
 
-    # --- compact the valid samples (see render_sample_budget docstring) ---
-    if budget < M:
+    use_train_lod = (cfg.train_lod_top_k is not None
+                     and cfg.do_importance_sampling and samples.sdf is not None)
+    if use_train_lod:
+        # --- train-time LOD: rank samples by carried-sdf NeuS weights and
+        # evaluate full resolution only at top-K (+ E random) per ray ---
+        K = min(cfg.train_lod_top_k, S)
+        E = min(cfg.train_lod_rand_extra, S - K)
+        sdf_carried = samples.sdf  # stop-gradient (no-grad sampling stage)
+        cos_fd = vr.finite_difference_cos(samples, sdf_carried)
+        w_rank, _, _ = vr.neus_compute_weights_from_cos(
+            samples, sdf_carried, cos_fd, inv_s, cos_anneal_ratio)
+        rows = jnp.arange(R)[:, None]
+        _, ik = jax.lax.top_k(jnp.where(samples.mask, w_rank, -1.0), K)
+        if E > 0:
+            scores = jax.random.uniform(k_sel, (R, S))
+            scores = scores.at[rows, ik].set(-1.0)  # exclude the top-K slots
+            scores = jnp.where(samples.mask, scores, -1.0)
+            _, ie = jax.lax.top_k(scores, E)
+            sel = jnp.concatenate([ik, ie], axis=1)  # [R, K+E], unique slots
+        else:
+            sel = ik
+        KE = sel.shape[1]
+        idx = (rows * S + sel).reshape(-1)  # flat, always in range
+        valid_c = jnp.take(samples.flat_mask(), idx)
+        pos_c = samples.flat_positions()[idx]
+        dirs_c = samples.flat_dirs()[idx]
+    elif budget < M:
+        # --- compact the valid samples (see render_sample_budget docstring)
         idx, valid_c = _compact_idx(samples.flat_mask(), budget)
         # drop overflow samples from the batch so every consumer agrees
         kept = jnp.zeros((M + 1,), bool).at[idx].set(valid_c)[:M]
@@ -358,7 +432,10 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
         if img_indices is not None else None
     )
     if per_sample_img is not None and idx is not None:
-        per_sample_img = _pad_one(per_sample_img)[idx]
+        if use_train_lod:
+            per_sample_img = per_sample_img[idx]
+        else:
+            per_sample_img = _pad_one(per_sample_img)[idx]
     cc = colorcal if (colorcal is not None and img_indices is not None) else None
     rgb_c = rgb_apply(
         params["rgb"], pos_c, dirs_c, grads_c, geom_c,
@@ -366,26 +443,42 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
         per_sample_img_indices=per_sample_img,
     )
 
-    # --- scatter back to the dense [R, S] layout for the per-ray math ---
-    if idx is not None:
-        vc = valid_c[:, None]
-        sdf = jnp.zeros((M + 1, 1)).at[idx].set(sdf_c * vc)[:M]
-        sdf_gradients = jnp.zeros((M + 1, 3)).at[idx].set(grads_c * vc)[:M]
-        rgb_flat = jnp.zeros((M + 1, 3)).at[idx].set(rgb_c * vc)[:M]
-    else:
-        sdf, sdf_gradients, rgb_flat = sdf_c, grads_c, rgb_c
-
     compact = {"pos": pos_c, "sdf": sdf_c, "grads": grads_c, "valid": valid_c}
 
-    inv_s = vr.variance_inv_s(params["variance"], forced_variance)
-    weights, weights_sum, bg_transmittance = vr.neus_compute_weights(
-        samples, sdf, sdf_gradients, inv_s, cos_anneal_ratio
-    )
-    # zero weights at invalid samples of fully-masked rays is already handled
-    pred_rgb = vr.integrate_with_weights(rgb_flat.reshape(R, S, 3), weights,
-                                         samples.mask)
-    grad_int = vr.integrate_with_weights(sdf_gradients.reshape(R, S, 3), weights,
-                                         samples.mask)
+    if use_train_lod:
+        # --- mixed per-ray arrays: full-resolution sdf / analytic cos at
+        # the selected slots, carried sdf / finite-difference cos elsewhere
+        vc = valid_c
+        sdf_flat = sdf_carried.reshape(-1).at[idx].set(
+            jnp.where(vc, sdf_c.reshape(-1), sdf_carried.reshape(-1)[idx]))
+        cos_sel = jnp.sum(dirs_c * grads_c, axis=-1)
+        cos_flat = cos_fd.reshape(-1).at[idx].set(
+            jnp.where(vc, cos_sel, cos_fd.reshape(-1)[idx]))
+        weights, weights_sum, bg_transmittance = vr.neus_compute_weights_from_cos(
+            samples, sdf_flat.reshape(R, S), cos_flat.reshape(R, S),
+            inv_s, cos_anneal_ratio)
+        w_sel = jnp.take(weights.reshape(-1), idx).reshape(R, KE)
+        w_sel = jnp.where(valid_c.reshape(R, KE), w_sel, 0.0)
+        pred_rgb = jnp.sum(w_sel[..., None] * rgb_c.reshape(R, KE, 3), axis=1)
+        grad_int = jnp.sum(w_sel[..., None] * grads_c.reshape(R, KE, 3), axis=1)
+    else:
+        # --- scatter back to the dense [R, S] layout for the per-ray math
+        if idx is not None:
+            vc = valid_c[:, None]
+            sdf = jnp.zeros((M + 1, 1)).at[idx].set(sdf_c * vc)[:M]
+            sdf_gradients = jnp.zeros((M + 1, 3)).at[idx].set(grads_c * vc)[:M]
+            rgb_flat = jnp.zeros((M + 1, 3)).at[idx].set(rgb_c * vc)[:M]
+        else:
+            sdf, sdf_gradients, rgb_flat = sdf_c, grads_c, rgb_c
+
+        weights, weights_sum, bg_transmittance = vr.neus_compute_weights(
+            samples, sdf, sdf_gradients, inv_s, cos_anneal_ratio
+        )
+        # zero weights at invalid samples of fully-masked rays already handled
+        pred_rgb = vr.integrate_with_weights(rgb_flat.reshape(R, S, 3), weights,
+                                             samples.mask)
+        grad_int = vr.integrate_with_weights(sdf_gradients.reshape(R, S, 3),
+                                             weights, samples.mask)
     pred_normals = grad_int / (jnp.linalg.norm(grad_int, axis=-1, keepdims=True) + 1e-12)
 
     if not cfg.with_mask:
@@ -662,7 +755,13 @@ def _eval_render_fn(params, grid, aux, origins, dirs, iter_nr_anneal,
                     cos_anneal_ratio, forced_variance, *,
                     cfg: PermutoSDFTrainConfig):
     """Pure per-device volumetric eval render — the unit that DP rendering
-    shards over the mesh (parallel/render.py). ``aux`` unused."""
+    shards over the mesh (parallel/render.py). ``aux`` unused.
+
+    Always the EXACT render: train-time LOD is a training-batch contract
+    (like the sample budget), so it is stripped here — the eval LOD path
+    is the explicit ``lod=`` argument of :func:`render_image`."""
+    if cfg.train_lod_top_k is not None:
+        cfg = dataclasses.replace(cfg, train_lod_top_k=None)
     pred_rgb, pred_normals, _, weights_sum, _, _, _ = run_net(
         params, grid, jax.random.PRNGKey(0), origins, dirs, None,
         iter_nr_anneal, cos_anneal_ratio, forced_variance, cfg, jitter=False,
@@ -908,6 +1007,9 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
 
     if cfg.render_sample_budget is not None:
         cfg = dataclasses.replace(cfg, render_sample_budget=None)
+    if cfg.train_lod_top_k is not None:
+        # training-batch contract, not an eval approximation (use lod= for that)
+        cfg = dataclasses.replace(cfg, train_lod_top_k=None)
 
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]
@@ -1504,6 +1606,22 @@ def render_image_sphere_traced(params, grid, K, tf_world_cam, width, height,
 # Training loop
 # ---------------------------------------------------------------------------
 
+def _c2f_active_levels(it_anneal: int, cfg: PermutoSDFTrainConfig):
+    """Number of SDF encoding levels with a NONZERO c2f window weight at
+    this iteration (level l eases in as t*nr_levels passes l —
+    models/fields.py::_c2f_t), ceil'd to a multiple of 4 so the ease-in
+    costs at most nr_levels/4 recompiles. None once every level is open.
+    Skipping zero-weight levels is mathematically a no-op: the window
+    multiplies their features by exactly 0; the gathers are simply never
+    issued (VERDICT r3 item 1a)."""
+    if it_anneal >= cfg.sdf_nr_iters_for_c2f:
+        return None
+    t = 0.3 + 0.7 * it_anneal / max(cfg.sdf_nr_iters_for_c2f, 1)
+    act = int(np.ceil(t * cfg.nr_levels))
+    act = min(cfg.nr_levels, -(-act // 4) * 4)
+    return None if act >= cfg.nr_levels else act
+
+
 def _ray_bucket(n: int, lo: int = 128, hi: int = 4096) -> int:
     """Snap a desired ray count to a power-of-2 bucket so the step re-jits
     at most log2(hi/lo) times."""
@@ -1519,7 +1637,8 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
           experiment_name: str = "permuto_sdf", save_every: int = 10000,
           callbacks=None, dynamic_nr_rays: bool = True,
           resume_from: str | None = None,
-          data_parallel: bool | None = None):
+          data_parallel: bool | None = None,
+          shard_reel_over_mesh: bool = False):
     """``dynamic_nr_rays`` is the reference's load-balancing trick
     (train_permuto_sdf.py:394-397): rescale the ray count so the total
     packed sample count stays near target_nr_of_samples — here snapped to
@@ -1544,6 +1663,7 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
     nr_iters = nr_iters or cfg.iter_finish_training
     if data_parallel is None:
         data_parallel = jax.device_count() > 1
+    nr_cams = reel.nr_images  # BEFORE sharding: colorcal is per global image
     if not data_parallel:
         # one bulk upload; host-backed reel buffers would otherwise be
         # re-shipped into EVERY step on the remote-TPU transport
@@ -1556,12 +1676,20 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
         from permuto_sdf_tpu.parallel import make_ray_mesh, make_dp_train_step, dp_keys
 
         mesh = make_ray_mesh()
+        if shard_reel_over_mesh and mesh.devices.size > 1:
+            from permuto_sdf_tpu.datasets.tensor_reel import shard_reel
+
+            # each device holds 1/D of the images (SURVEY §5.8); samplers
+            # report global image ids so colorcal stays per global image
+            reel = shard_reel(reel, mesh.devices.size)
+        else:
+            shard_reel_over_mesh = False
 
         def get_dp_step(step_cfg):
             if step_cfg not in dp_step_cache:
                 dp_step_cache[step_cfg] = make_dp_train_step(
                     compute_loss_and_grads, apply_updates, mesh, step_cfg,
-                    optimizer,
+                    optimizer, reel_sharded=shard_reel_over_mesh,
                 )
             return dp_step_cache[step_cfg]
     target_nr_samples = cfg.nr_rays * (
@@ -1583,7 +1711,7 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
             cfg = dataclasses.replace(cfg, nr_rays=int(st["nr_rays"]))
         print(f"resumed from {resume_from} at iter {start_iter}")
     else:
-        params = init_params(jax.random.fold_in(key, 0), cfg, reel.nr_images)
+        params = init_params(jax.random.fold_in(key, 0), cfg, nr_cams)
         opt_state = optimizer.init(params)
         grid = og.make_occupancy_grid(cfg.grid) if cfg.use_occupancy_grid else None
 
@@ -1606,6 +1734,10 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                 # term from the compiled graph (one re-jit), like the
                 # reference's `if global_weight_curvature>0` python branch
                 cfg = dataclasses.replace(cfg, enable_curvature=False)
+            if cfg.c2f_level_skip:
+                act = _c2f_active_levels(it_anneal, cfg)
+                if act != cfg.sdf_active_levels:
+                    cfg = dataclasses.replace(cfg, sdf_active_levels=act)
             if cfg.use_occupancy_grid and it % cfg.grid_update_every == 0:
                 if data_parallel:
                     # probe-point SDF evals sharded over the mesh (the
@@ -1617,16 +1749,22 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                 else:
                     grid = occupancy_update(params, grid, k_grid, it_anneal,
                                             last_inv_s, cfg)
+            # parity alternation is per-step and kept OUT of the cfg used by
+            # occupancy updates (their graph does not depend on it)
+            step_cfg = cfg
+            if cfg.table_grad_alternate:
+                step_cfg = dataclasses.replace(cfg, table_grad_parity=it % 2)
             if data_parallel:
                 from permuto_sdf_tpu.parallel import dp_keys
 
-                params, opt_state, loss, aux = get_dp_step(cfg)(
+                params, opt_state, loss, aux = get_dp_step(step_cfg)(
                     params, opt_state, grid, reel, dp_keys(k_step, mesh),
                     jnp.asarray(it),
                 )
             else:
                 params, opt_state, loss, aux = train_step(
-                    params, opt_state, grid, reel, k_step, it, cfg, optimizer
+                    params, opt_state, grid, reel, k_step, it, step_cfg,
+                    optimizer
                 )
             last_inv_s = aux["inv_s"]
             if dynamic_nr_rays and it % 50 == 0:

@@ -459,3 +459,131 @@ def test_sorted_scatter_backward_matches_default():
     gg_s = jax.grad(eik)(params, spec_s)["lattice_values"]
     np.testing.assert_allclose(np.asarray(gg_s), np.asarray(gg_d),
                                rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("packed", [False, True])
+def test_grad_level_parity_values_and_gradients(packed):
+    """Alternating-level table gradients (grad_level_parity): forward
+    values are IDENTICAL to the default; table gradients match the default
+    at active levels and are exactly zero at frozen levels; gradients wrt
+    points are unchanged (bary flows through both halves)."""
+    import dataclasses as dc
+    from permuto_sdf_tpu.ops.permuto_encoding import (
+        PermutoEncodingSpec, init_encoding_params, permuto_encode)
+
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=256, nr_levels=5,
+                               packed_bf16=packed)
+    params = init_encoding_params(jax.random.PRNGKey(0), spec)
+    params["lattice_values"] = params["lattice_values"] * 1e3  # non-trivial
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.4,
+                             maxval=0.4)
+    cot = jax.random.normal(jax.random.PRNGKey(2),
+                            (64, spec.output_dims))
+
+    def loss(p, s):
+        return jnp.sum(permuto_encode(p, pts, s) * cot)
+
+    for parity in (0, 1):
+        spec_p = dc.replace(spec, grad_level_parity=parity)
+        # forward identical
+        np.testing.assert_allclose(
+            np.asarray(permuto_encode(params, pts, spec_p)),
+            np.asarray(permuto_encode(params, pts, spec)), rtol=0, atol=0)
+        g_full = jax.grad(loss)(params, spec)["lattice_values"]
+        g_p = jax.grad(loss)(params, spec_p)["lattice_values"]
+        for lvl in range(spec.nr_levels):
+            if lvl % 2 == parity:
+                np.testing.assert_allclose(np.asarray(g_p[lvl]),
+                                           np.asarray(g_full[lvl]),
+                                           rtol=1e-6, atol=1e-9)
+            else:
+                assert float(jnp.abs(g_p[lvl]).max()) == 0.0
+        # point gradients unchanged (all levels' values contribute)
+        gp_full = jax.grad(lambda x: jnp.sum(
+            permuto_encode(params, x, spec) * cot))(pts)
+        gp_p = jax.grad(lambda x: jnp.sum(
+            permuto_encode(params, x, spec_p) * cot))(pts)
+        np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_full),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.quick
+def test_c2f_active_levels_front():
+    """_c2f_active_levels never clips a level whose window weight is
+    nonzero, and sdf_apply with active_levels equals the full model while
+    the skipped levels' window is 0."""
+    from permuto_sdf_tpu.train.train_permuto_sdf import (
+        PermutoSDFTrainConfig, _c2f_active_levels)
+    from permuto_sdf_tpu.models.fields import (
+        SDFConfig, init_sdf, sdf_apply, coarse2fine_window, _c2f_t)
+    import dataclasses as dc
+
+    cfg = PermutoSDFTrainConfig(capacity=2 ** 10, nr_levels=8,
+                                sdf_nr_iters_for_c2f=100)
+    for it in [0, 10, 25, 50, 75, 99, 100, 500]:
+        act = _c2f_active_levels(it, cfg)
+        w = np.asarray(coarse2fine_window(_c2f_t(it, 100), 8))
+        nonzero = int((w > 0).sum())
+        if act is not None:
+            assert act >= nonzero, (it, act, nonzero)
+            assert act % 4 == 0 or act == 8
+
+    sdf_cfg = SDFConfig(capacity=2 ** 10, nr_levels=8, nr_iters_for_c2f=100)
+    params = init_sdf(jax.random.PRNGKey(0), sdf_cfg)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.4,
+                             maxval=0.4)
+    it = 10  # window open for ~first 3 levels; act quantizes to 4
+    act = _c2f_active_levels(it, dc.replace(cfg, nr_levels=8))
+    full = sdf_apply(params, pts, it, sdf_cfg)[0]
+    skip = sdf_apply(params, pts, it,
+                     dc.replace(sdf_cfg, active_levels=act))[0]
+    np.testing.assert_allclose(np.asarray(skip), np.asarray(full),
+                               rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.quick
+def test_row2_gather_matches_flat_exactly():
+    """row_gather=True is a pure lowering change: forward values, table
+    gradients and point gradients are EXACT f32 matches of the two-flat
+    path (unlike packed_bf16, which rounds)."""
+    import dataclasses as dc
+    from permuto_sdf_tpu.ops.permuto_encoding import (
+        PermutoEncodingSpec, init_encoding_params, permuto_encode)
+
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=512, nr_levels=6)
+    spec_r = dc.replace(spec, row_gather=True)
+    params = init_encoding_params(jax.random.PRNGKey(0), spec)
+    params["lattice_values"] = params["lattice_values"] * 1e3
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-0.4,
+                             maxval=0.4)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (128, spec.output_dims))
+
+    np.testing.assert_array_equal(
+        np.asarray(permuto_encode(params, pts, spec_r)),
+        np.asarray(permuto_encode(params, pts, spec)))
+
+    def loss(p, s):
+        return jnp.sum(permuto_encode(p, pts, s) * cot)
+
+    g = jax.grad(loss)(params, spec)["lattice_values"]
+    g_r = jax.grad(loss)(params, spec_r)["lattice_values"]
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g), rtol=1e-6,
+                               atol=1e-9)
+
+    gp = jax.grad(lambda x: jnp.sum(permuto_encode(params, x, spec) * cot))(pts)
+    gp_r = jax.grad(lambda x: jnp.sum(permuto_encode(params, x, spec_r) * cot))(pts)
+    np.testing.assert_allclose(np.asarray(gp_r), np.asarray(gp), rtol=1e-6,
+                               atol=1e-8)
+
+    # double backprop (the eikonal/curvature pattern) composes
+    def eik(p, s):
+        def f(x):
+            return jnp.sum(permuto_encode(p, x[None], s))
+        gg = jax.vmap(jax.grad(f))(pts)
+        return jnp.sum(gg ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(eik)(params, spec_r)["lattice_values"]),
+        np.asarray(jax.grad(eik)(params, spec)["lattice_values"]),
+        rtol=1e-5, atol=1e-8)

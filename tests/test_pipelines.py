@@ -199,6 +199,82 @@ def test_render_sample_budget_compaction_equivalence(tiny_reel):
         assert np.isfinite(np.asarray(o)).all()
 
 
+def test_train_lod_full_selection_matches_exact(tiny_reel):
+    """Train-time LOD (train_lod_top_k): with K = max_samples (every valid
+    sample selected) the mixed sdf/cos arrays are entirely full-resolution,
+    so run_net must reproduce the exact path bit-for-bit-ish — this pins
+    the selection/scatter/mixed-weights plumbing. With a small K the loss
+    path must stay finite and the fine set must be K+E per ray."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    import jax.numpy as jnp
+
+    base = dict(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+        render_sample_budget=None, curvature_sample_budget=None,
+    )
+    cfg_exact = t.PermutoSDFTrainConfig(**base)
+    S = 16 + 2 * 4
+    cfg_lod_full = t.PermutoSDFTrainConfig(
+        train_lod_top_k=S, train_lod_rand_extra=0, **base)
+    cfg_lod_small = t.PermutoSDFTrainConfig(
+        train_lod_top_k=4, train_lod_rand_extra=2, **base)
+
+    params = t.init_params(jax.random.PRNGKey(0), cfg_exact, tiny_reel.nr_images)
+    grid = og.make_occupancy_grid(cfg_exact.grid)
+
+    key = jax.random.PRNGKey(2)
+    ang = jnp.linspace(-0.4, 0.4, 64)
+    dirs = jnp.stack([jnp.sin(ang), jnp.zeros(64), jnp.cos(ang)], -1)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (64, 1))
+
+    def render(cfg):
+        return t.run_net(params, grid, key, origins, dirs, None,
+                         jnp.asarray(100), 1.0, 0.8, cfg, jitter=False)
+
+    out_exact = render(cfg_exact)
+    out_full = render(cfg_lod_full)
+    # pred_rgb / normals / weights_sum agree (the carried proxy sdf is the
+    # full-level SDF here — imp_sampling_max_levels=None — so even the
+    # mixed transmittance chain is exact)
+    np.testing.assert_allclose(np.asarray(out_exact[0]), np.asarray(out_full[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_exact[1]), np.asarray(out_full[1]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_exact[3]), np.asarray(out_full[3]),
+                               rtol=1e-4, atol=1e-5)
+
+    out_small = render(cfg_lod_small)
+    assert out_small[2]["pos"].shape[0] == 64 * (4 + 2)  # K+E fine set
+    for o in (out_small[0], out_small[1], out_small[3]):
+        assert np.isfinite(np.asarray(o)).all()
+    # the small-K render is an approximation of the exact one, not garbage
+    assert np.mean(np.abs(np.asarray(out_small[0]) - np.asarray(out_exact[0]))) < 0.1
+
+
+def test_train_lod_training_reduces_loss(tiny_reel):
+    """End-to-end smoke: the train-time LOD step trains (loss decreases,
+    gradients flow through the selected fine set)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32, nr_iter_sphere_fit=20,
+        sphere_init_points=512, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=512, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=20,
+        sdf_nr_iters_for_c2f=50, forced_variance_finish_iter=100,
+        train_lod_top_k=6, train_lod_rand_extra=2,
+    )
+    params, grid, hist = t.train(tiny_reel, cfg, nr_iters=100, log_every=20,
+                                 dynamic_nr_rays=True)
+    post = [h for h in hist if h[0] >= cfg.nr_iter_sphere_fit and h[2] is not None]
+    assert len(post) >= 2
+    assert np.isfinite(post[-1][1])
+    assert post[-1][2] < post[0][2] * 1.05  # rgb loss does not blow up
+
+
 def test_hidden_vertex_culling_removes_enclosed_geometry():
     """A small sphere fully inside a big one must be culled; the outer
     shell must survive (reference's embree-AO cull of interior anatomy,
