@@ -103,11 +103,18 @@ def main():
     # (inv_s ~ 20 => occupancy band +-0.58 => dense grid) the bucket pins
     # at 512 rays and rays/s understates steady-state throughput ~3x;
     # --quick reports that dense-grid lower bound.
+    # sdf_nr_iters_for_c2f is compressed (10000 -> 400) for the same
+    # reason as the variance anneal: the measured window must sit at the
+    # POST-c2f steady state (every encoding level open). The c2f-front
+    # level skipping (c2f_level_skip) therefore does NOT flatter this
+    # number — it only accelerates the (unmeasured) early phase, exactly
+    # as in a real run.
     cfg = tps.PermutoSDFTrainConfig(  # full reference scale
         nr_iter_sphere_fit=sphere_iters,
         sphere_init_points=30000,
         warmup_iters=100,
         forced_variance_finish_iter=60 if quick else 600,
+        sdf_nr_iters_for_c2f=50 if quick else 400,
     )
     reel = make_synthetic_reel(nr_views=4, width=100, height=100)
     target_nr_samples = cfg.nr_rays * (
@@ -121,6 +128,8 @@ def main():
     key = jax.random.PRNGKey(1)
     last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0))
 
+    compile_events = []  # (iter, seconds) for slow (compiling) dispatches
+
     def one_iter(it, cfg, params, opt_state, grid, last_inv_s):
         k_step, k_grid = jax.random.split(jax.random.fold_in(key, it + 1))
         if it < cfg.nr_iter_sphere_fit:
@@ -132,8 +141,12 @@ def main():
         if it % cfg.grid_update_every == 0:
             grid = tps.occupancy_update(params, grid, k_grid,
                                         jnp.asarray(it_anneal), last_inv_s, cfg)
+        # per-step static switches, exactly as train() drives them
+        step_cfg = cfg
+        if cfg.table_grad_alternate:
+            step_cfg = dataclasses.replace(cfg, table_grad_parity=it % 2)
         params, opt_state, loss, aux = tps.train_step(
-            params, opt_state, grid, reel, k_step, jnp.asarray(it), cfg,
+            params, opt_state, grid, reel, k_step, jnp.asarray(it), step_cfg,
             optimizer
         )
         return params, opt_state, grid, aux["inv_s"], aux
@@ -156,9 +169,17 @@ def main():
             # discarded if the rebalancer resized the bucket mid-window
             jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
             dense_window = (dense_rays * 20) / (time.perf_counter() - td)
+        if cfg.c2f_level_skip and it >= sphere_iters:
+            act = tps._c2f_active_levels(it - sphere_iters, cfg)
+            if act != cfg.sdf_active_levels:
+                cfg = dataclasses.replace(cfg, sdf_active_levels=act)
+        t_it = time.perf_counter()
         params, opt_state, grid, last_inv_s, aux = one_iter(
             it, cfg, params, opt_state, grid, last_inv_s
         )
+        dt_it = time.perf_counter() - t_it
+        if dt_it > 2.0:  # async dispatch: only compiles block the host
+            compile_events.append((it, round(dt_it, 1)))
         # dynamic ray rebalancing toward the fixed VALID-sample budget,
         # snapped to power-of-2 buckets (one compile per bucket)
         if aux is not None and (it % 25) == 0:
@@ -195,6 +216,26 @@ def main():
         valid_samples_total += valid
         elapsed_total += elapsed
 
+    # FLOPs/bytes of the compiled gradient graph (XLA cost analysis) ->
+    # MFU and achieved-HBM lines against the MEASURED chip roofline
+    # (eval_artifacts/roofline.json: 337 TF bf16 matmul, 1007 GB/s copy)
+    mfu = hbm_frac = None
+    try:
+        k_cost = jax.random.PRNGKey(9)
+        step_cfg = cfg
+        if cfg.table_grad_alternate:
+            step_cfg = dataclasses.replace(cfg, table_grad_parity=0)
+        lowered = tps._grads_step.lower(
+            params, grid, reel, k_cost, jnp.asarray(start), step_cfg)
+        ca = lowered.compile().cost_analysis()
+        step_s = elapsed_total / (measure_iters * nr_windows)
+        if ca and ca.get("flops"):
+            mfu = float(ca["flops"]) / step_s / 337e12
+        if ca and ca.get("bytes accessed"):
+            hbm_frac = float(ca["bytes accessed"]) / step_s / 1007e9
+    except Exception as e:  # cost analysis is best-effort on this plugin
+        print(f"cost_analysis unavailable: {e!r}", flush=True)
+
     rays_per_sec = sum(window_rays_s) / len(window_rays_s)
     samples_per_sec = sum(window_samples_s) / len(window_samples_s)
     vs_rays = rays_per_sec / REFERENCE_RAYS_PER_SEC
@@ -222,6 +263,19 @@ def main():
                 round(dense_window, 1) if dense_window else None),
             "grid_occupancy_frac": round(float(jnp.mean(grid.occupancy)), 4),
             "warmup_s": round(warm_s, 1),
+            # compile-time accounting (VERDICT r3 item 7): every dispatch
+            # that blocked the host >2 s during warmup is a compile (the
+            # step itself is async); cold runs pay these, warm runs hit
+            # the persistent cache in .jax_cache
+            "compile_events": compile_events,
+            "compile_s_total": round(sum(s for _, s in compile_events), 1),
+            "n_compiles": len(compile_events),
+            # utilization of the measured chip rooflines: the step is
+            # gather/scatter INSTANCE-bound (roofline.json), so both
+            # fractions are far below 1 by design — they quantify how far
+            "mfu_vs_measured_peak": round(mfu, 4) if mfu else None,
+            "hbm_frac_vs_measured_copy_bw": (round(hbm_frac, 4)
+                                             if hbm_frac else None),
         },
     }))
 

@@ -242,6 +242,19 @@ def compute_samples_in_occupied_regions(
     equispaced arc positions (jittered start like the reference) and maps
     arc position -> t with a per-ray searchsorted over the cumulative
     occupied length. Rays with n <= 2 are zeroed (reference discard rule).
+
+    Resolution bound vs the reference's exact DDA (quantified in
+    tests/test_probe_sampler_exactness.py against a NumPy DDA oracle):
+    the probe lattice has pitch ``(t_exit - t_entry) / nr_probes``, so an
+    occupied interval of length ``l >= pitch`` is NEVER missed (midpoints
+    are spaced exactly one pitch apart). A sub-pitch sliver is detected
+    with probability ``l / pitch`` per ray and counted as one full pitch
+    when detected, so the occupied-length estimator stays unbiased over
+    the ray population. At the production operating point (512 probes,
+    ~unit chord, 256^3 grid) the pitch is ~half a voxel: a straight-through
+    occupied voxel is always found; only corner-clips shorter than half a
+    voxel degrade to probabilistic coverage — and those contribute
+    O(pitch) arc length to the render integral in the first place.
     """
     R = origins.shape[0]
     S = max_nr_samples_per_ray
