@@ -26,6 +26,14 @@ OUT = os.environ.get("EVAL_OUT", "/root/repo/eval_artifacts")
 os.makedirs(OUT, exist_ok=True)
 NR_ITERS = int(os.environ.get("MASK_ITERS", "12000"))
 
+# MASK_LEVERS=1 turns on the round-4 throughput levers at their flagship
+# A/B values (perf_ab_r4.json "row+lod+par": 136.1 ms/step vs 408.8
+# baseline; time-matched quality A/B quality_ab_r4_timematched.json:
+# +4.1 dB fg PSNR at equal wall-clock).
+LEVERS = (dict(train_lod_top_k=24, train_lod_rand_extra=8,
+               table_grad_alternate=True)
+          if os.environ.get("MASK_LEVERS") else {})
+
 cfg = tps.PermutoSDFTrainConfig(
     nr_iter_sphere_fit=int(NR_ITERS * 0.17),
     forced_variance_finish_iter=int(NR_ITERS * 0.375),
@@ -35,6 +43,7 @@ cfg = tps.PermutoSDFTrainConfig(
     iter_finish_training=NR_ITERS,
     sdf_nr_iters_for_c2f=int(NR_ITERS * 0.375),
     with_mask=True,
+    **LEVERS,
 )
 
 reel = make_synthetic_reel(nr_views=24, width=200, height=200)
@@ -95,7 +104,9 @@ overall, d2s, s2d = dtu_chamfer(V_pred, F_pred, gt_points,
 result = {
     "config": ("flagship 2^18/24 levels, with_mask=True (mask BCE, no "
                f"bg model in the loss); schedule reference 200k "
-               f"x{NR_ITERS/200000:.3f} -> {NR_ITERS}"),
+               f"x{NR_ITERS/200000:.3f} -> {NR_ITERS}"
+               + ("; r4 levers row+lod24+par" if LEVERS else "")),
+    "levers": LEVERS,
     "train_minutes": round(train_s / 60, 1),
     "nr_iters": NR_ITERS,
     "image_metrics_per_view": rows,

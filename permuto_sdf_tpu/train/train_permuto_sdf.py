@@ -801,13 +801,17 @@ def _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
     pos = samples.flat_positions()
     K = min(top_k, S)
 
-    def sdf_coarse_sum(p):
-        return sdf_apply(params["sdf"], p, iter_nr_anneal, cfg.sdf_model,
-                         max_levels=coarse_levels)[0].sum()
-
-    sdf_c = sdf_apply(params["sdf"], pos, iter_nr_anneal, cfg.sdf_model,
-                      max_levels=coarse_levels)[0].reshape(-1)
-    grads_c = jax.grad(sdf_coarse_sum)(pos)
+    # sdf_c and grads_c from ONE vjp traversal (not a fwd pass + a second
+    # jax.grad traversal): mathematically identical, compiles ~2x faster,
+    # and — with the two-traversal form — XLA:TPU's priority-fusion pass
+    # SIGILLs when the hash tables arrive as program PARAMETERS (the same
+    # graph with tables constant-folded compiles fine; bisection in
+    # eval_artifacts/xla_repros/lod_sigill_isolate{,2,3}.py).
+    sdf_c_2d, vjp_fn = jax.vjp(
+        lambda p: sdf_apply(params["sdf"], p, iter_nr_anneal, cfg.sdf_model,
+                            max_levels=coarse_levels)[0], pos)
+    (grads_c,) = vjp_fn(jnp.ones_like(sdf_c_2d))
+    sdf_c = sdf_c_2d.reshape(-1)
 
     inv_s = vr.variance_inv_s(params["variance"], forced_variance)
     w_c, _, _ = vr.neus_compute_weights(samples, sdf_c, grads_c, inv_s,
@@ -891,6 +895,45 @@ _lod_coarse_jit = functools.partial(
                               cfg=cfg, coarse_levels=coarse_levels,
                               top_k=top_k))
 
+# Stage-1 dispatch with the SDF MLP weights closed over as COMPILE-TIME
+# CONSTANTS. Bisection result (eval_artifacts/xla_repros/
+# lod_sigill_isolate{3,5,6}.json): the stage-1 graph SIGILLs XLA:TPU's
+# priority-fusion pass whenever the small SDF MLP arrives as a program
+# parameter — the identical graph with the MLP constant-folded (tables
+# and everything else still arguments) compiles in ~50 s. The MLP is a
+# few KB, so constant capture costs nothing; the cache below retraces
+# only when the MLP arrays themselves are replaced (a checkpoint load),
+# which is exactly the eval/viewer cadence. Retirement condition:
+# tests/test_xla_canaries.py::test_lod_stage1_params_as_args_compiles.
+_LOD_MLPCONST_CACHE: dict = {}
+
+
+def _strip_sdf_mlp(params):
+    return {**params,
+            "sdf": {k: v for k, v in params["sdf"].items()
+                    if k != "mlp_sdf"}}
+
+
+def _lod_coarse_mlpconst_jit(params, grid, origins, dirs, it, cos, fv,
+                             cfg, coarse_levels, top_k):
+    mlp = params["sdf"]["mlp_sdf"]
+    leaves = tuple(jax.tree_util.tree_leaves(mlp))
+    key = ("1dev", cfg, coarse_levels, top_k)
+    hit = _LOD_MLPCONST_CACHE.get(key)
+    if (hit is None or len(hit[0]) != len(leaves)
+            or any(a is not b for a, b in zip(hit[0], leaves))):
+
+        @jax.jit
+        def f(rest, grid, origins, dirs, it, cos, fv):
+            p = {**rest, "sdf": {**rest["sdf"], "mlp_sdf": mlp}}
+            return _lod_coarse_select(p, grid, origins, dirs, it, cos, fv,
+                                      cfg=cfg, coarse_levels=coarse_levels,
+                                      top_k=top_k)
+
+        hit = (leaves, f)
+        _LOD_MLPCONST_CACHE[key] = hit
+    return hit[1](_strip_sdf_mlp(params), grid, origins, dirs, it, cos, fv)
+
 _lod_fine_jit = functools.partial(jax.jit, static_argnames=("cfg",))(
     lambda params, mid, origins, dirs, it, cos, fv, cfg:
     _lod_fine_render(params, mid, origins, dirs, it, cos, fv, cfg=cfg))
@@ -940,21 +983,46 @@ def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
                             cos_anneal_ratio, forced_variance, cfg=cfg)
 
 
-def _lod_coarse_body(params, grid, aux, origins, dirs, iter_nr_anneal,
-                     cos_anneal_ratio, forced_variance, *, cfg,
-                     coarse_levels, top_k):
-    """DP body adapter for stage 1 (``aux`` unused). Every output leaf is
-    ray-leading, so the whole mid tree shards with a P(RAY_AXIS) prefix."""
-    return _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
-                              cos_anneal_ratio, forced_variance, cfg=cfg,
-                              coarse_levels=coarse_levels, top_k=top_k)
-
-
 def _lod_fine_body(params, grid, mid, origins, dirs, iter_nr_anneal,
                    cos_anneal_ratio, forced_variance, *, cfg):
     """DP body adapter for stage 2; ``mid`` arrives ray-sharded."""
     return _lod_fine_render(params, mid, origins, dirs, iter_nr_anneal,
                             cos_anneal_ratio, forced_variance, cfg=cfg)
+
+
+def _make_dp_lod_stage1(mesh, params, cfg, coarse_levels, top_k):
+    """DP stage-1 renderer with the SDF MLP constant-folded — the same
+    SIGILL dodge as :func:`_lod_coarse_mlpconst_jit`, applied to the
+    shard_map program (the DP path must never compile the crashing shape:
+    on a standard TPU host the compiler SIGILL kills the process). Returns
+    a callable with the ``make_dp_ray_renderer`` signature. Cached on the
+    MLP leaf identities; retraces only on checkpoint replacement."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from permuto_sdf_tpu.parallel.mesh import RAY_AXIS
+
+    mlp = params["sdf"]["mlp_sdf"]
+    leaves = tuple(jax.tree_util.tree_leaves(mlp))
+    key = ("dp", mesh, cfg, coarse_levels, top_k)
+    hit = _LOD_MLPCONST_CACHE.get(key)
+    if (hit is None or len(hit[0]) != len(leaves)
+            or any(a is not b for a, b in zip(hit[0], leaves))):
+
+        def body(rest, grid, aux_tree, origins, dirs, scalars):
+            p = {**rest, "sdf": {**rest["sdf"], "mlp_sdf": mlp}}
+            outs = _lod_coarse_select(p, grid, origins[0], dirs[0], *scalars,
+                                      cfg=cfg, coarse_levels=coarse_levels,
+                                      top_k=top_k)
+            return jax.tree_util.tree_map(lambda x: x[None], outs)
+
+        sharded = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+            out_specs=P(RAY_AXIS), check_vma=False)
+        hit = (leaves, jax.jit(sharded))
+        _LOD_MLPCONST_CACHE[key] = hit
+    f = hit[1]
+    return lambda p, g, aux, o, v, s: f(_strip_sdf_mlp(p), g, aux, o, v, s)
 
 
 def render_rays_eval_lod(params, grid, origins, dirs, iter_nr_anneal,
@@ -964,10 +1032,13 @@ def render_rays_eval_lod(params, grid, origins, dirs, iter_nr_anneal,
 
     Same math as :func:`_eval_render_fn_lod`; split so the XLA:TPU
     priority-fusion crash on the fused graph cannot take down the viewer
-    (and the two halves compile faster)."""
-    mid = _lod_coarse_jit(params, grid, origins, dirs, iter_nr_anneal,
-                          cos_anneal_ratio, forced_variance, cfg,
-                          coarse_levels, top_k)
+    (and the two halves compile faster). Stage 1 additionally closes over
+    the SDF MLP weights as constants — the bisected SIGILL trigger is that
+    MLP arriving as a program parameter (see ``_lod_coarse_mlpconst_jit``)."""
+    mid = _lod_coarse_mlpconst_jit(params, grid, origins, dirs,
+                                   iter_nr_anneal, cos_anneal_ratio,
+                                   forced_variance, cfg, coarse_levels,
+                                   top_k)
     return _lod_fine_jit(params, mid, origins, dirs, iter_nr_anneal,
                          cos_anneal_ratio, forced_variance, cfg)
 
@@ -1034,11 +1105,10 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
         if lod:
             # two shard_map programs (never the fused graph — a compiler
             # SIGILL kills the whole process, so the DP path must not even
-            # attempt the graph shape documented to crash priority fusion)
-            lod_kw = ({"coarse_levels": lod[0], "top_k": lod[1]}
-                      if isinstance(lod, tuple) else {})
-            stage_a = make_dp_ray_renderer(
-                _lod_coarse_body, mesh, tree_output=True, cfg=cfg, **lod_kw)
+            # attempt the graph shape documented to crash priority fusion);
+            # stage 1 constant-folds the SDF MLP (the bisected trigger)
+            cl, tk = lod if isinstance(lod, tuple) else (12, 32)
+            stage_a = _make_dp_lod_stage1(mesh, params, cfg, cl, tk)
             stage_b = make_dp_ray_renderer(
                 _lod_fine_body, mesh, 3, aux_sharded=True, cfg=cfg)
 

@@ -20,6 +20,14 @@ real chip — a pass means the corresponding workaround is dead weight:
    ``render_image``. Standalone repro:
    eval_artifacts/xla_repros/lod_sigill_isolate.py.
 
+3. ``test_lod_stage1_params_as_args_compiles`` — the narrower stage-1
+   trigger: even the SPLIT coarse-select program SIGILLs priority fusion
+   when the small SDF MLP arrives as a program PARAMETER; the identical
+   graph with the MLP constant-folded compiles in ~50 s (bisection:
+   eval_artifacts/xla_repros/lod_sigill_isolate{4,5,6}.py). Workaround to
+   retire on pass: ``_lod_coarse_mlpconst_jit`` / ``_make_dp_lod_stage1``
+   constant capture + ``_LOD_MLPCONST_CACHE`` (train_permuto_sdf.py).
+
 These are intentionally heavy (minutes of compile each on a cold cache)
 and TPU-specific: on CPU both fused forms are fine, so the tests skip
 unless a TPU backend is present.
@@ -119,3 +127,28 @@ def test_fused_lod_render_compiles():
     # meaning: keep the two-program split.
     out = fused(params, grid, origins, dirs)
     jax.block_until_ready(out[0])
+
+
+def test_lod_stage1_params_as_args_compiles():
+    """Stage-1 coarse-select compiles with the SDF MLP as a program arg."""
+    _require_tpu()
+    from permuto_sdf_tpu.train import train_permuto_sdf as tps
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg = tps.PermutoSDFTrainConfig(render_sample_budget=None)
+    key = jax.random.PRNGKey(0)
+    params = tps.init_params(key, cfg, nr_cams=4)
+    grid = og.make_occupancy_grid(cfg.grid)
+    n = 2048
+    origins = jnp.stack([jnp.zeros((n,)), jnp.zeros((n,)),
+                         jnp.full((n,), -2.0)], axis=-1)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+
+    # The pre-workaround dispatch: everything (incl. the SDF MLP) arrives
+    # as a program parameter. On the broken toolchain the compile helper
+    # dies with SIGILL and this raises JaxRuntimeError — the test FAILS,
+    # meaning: keep the mlp-const capture. On a pass, retire
+    # _lod_coarse_mlpconst_jit / _make_dp_lod_stage1 / _LOD_MLPCONST_CACHE.
+    out = tps._lod_coarse_jit(params, grid, origins, dirs, 9_999_999, 1.0,
+                              0.8, cfg, 12, 32)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
