@@ -776,6 +776,28 @@ def render_rays_eval(params, grid, origins, dirs, iter_nr_anneal,
                            cos_anneal_ratio, forced_variance, cfg=cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_rays_eval_batched(params, grid, origins_c, dirs_c, iter_nr_anneal,
+                             cos_anneal_ratio, forced_variance,
+                             cfg: PermutoSDFTrainConfig):
+    """One-dispatch whole-view exact render: ``origins_c/dirs_c`` arrive
+    pre-chunked ``[NC, chunk, 3]`` and a device-side ``lax.map`` loops over
+    the chunks (live memory = one chunk's intermediates, same as the host
+    loop). The host loop costs one transport round-trip PER CHUNK — the
+    remote-tunnel dispatch latency is measured at up to ~350 ms/dispatch
+    on congested sessions (finding 27), which dwarfed the actual render;
+    a single dispatch makes eval latency-immune. The reference has no
+    equivalent concern (local CUDA dispatch, run_net_in_chunks,
+    train_permuto_sdf.py:172-209)."""
+
+    def body(od):
+        o, d = od
+        return _eval_render_fn(params, grid, None, o, d, iter_nr_anneal,
+                               cos_anneal_ratio, forced_variance, cfg=cfg)
+
+    return jax.lax.map(body, (origins_c, dirs_c))
+
+
 def _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
                        cos_anneal_ratio, forced_variance, *,
                        cfg: PermutoSDFTrainConfig, coarse_levels: int,
@@ -915,10 +937,13 @@ def _strip_sdf_mlp(params):
 
 
 def _lod_coarse_mlpconst_jit(params, grid, origins, dirs, it, cos, fv,
-                             cfg, coarse_levels, top_k):
+                             cfg, coarse_levels, top_k, batched=False):
+    """``batched=True``: origins/dirs arrive ``[NC, chunk, 3]`` and a
+    device-side ``lax.map`` loops over the chunks — one dispatch for the
+    whole view (finding 27), mid-tree leaves gain the NC leading dim."""
     mlp = params["sdf"]["mlp_sdf"]
     leaves = tuple(jax.tree_util.tree_leaves(mlp))
-    key = ("1dev", cfg, coarse_levels, top_k)
+    key = ("1dev", batched, cfg, coarse_levels, top_k)
     hit = _LOD_MLPCONST_CACHE.get(key)
     if (hit is None or len(hit[0]) != len(leaves)
             or any(a is not b for a, b in zip(hit[0], leaves))):
@@ -926,9 +951,16 @@ def _lod_coarse_mlpconst_jit(params, grid, origins, dirs, it, cos, fv,
         @jax.jit
         def f(rest, grid, origins, dirs, it, cos, fv):
             p = {**rest, "sdf": {**rest["sdf"], "mlp_sdf": mlp}}
-            return _lod_coarse_select(p, grid, origins, dirs, it, cos, fv,
-                                      cfg=cfg, coarse_levels=coarse_levels,
-                                      top_k=top_k)
+
+            def one(od):
+                return _lod_coarse_select(p, grid, od[0], od[1], it, cos,
+                                          fv, cfg=cfg,
+                                          coarse_levels=coarse_levels,
+                                          top_k=top_k)
+
+            if batched:
+                return jax.lax.map(one, (origins, dirs))
+            return one((origins, dirs))
 
         hit = (leaves, f)
         _LOD_MLPCONST_CACHE[key] = hit
@@ -937,6 +969,12 @@ def _lod_coarse_mlpconst_jit(params, grid, origins, dirs, it, cos, fv,
 _lod_fine_jit = functools.partial(jax.jit, static_argnames=("cfg",))(
     lambda params, mid, origins, dirs, it, cos, fv, cfg:
     _lod_fine_render(params, mid, origins, dirs, it, cos, fv, cfg=cfg))
+
+_lod_fine_jit_batched = functools.partial(jax.jit, static_argnames=("cfg",))(
+    lambda params, mid, origins, dirs, it, cos, fv, cfg:
+    jax.lax.map(lambda a: _lod_fine_render(params, a[0], a[1], a[2], it,
+                                           cos, fv, cfg=cfg),
+                (mid, origins, dirs)))
 
 
 def _eval_render_fn_lod(params, grid, aux, origins, dirs, iter_nr_anneal,
@@ -1146,32 +1184,33 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
                 chunk)
     if lod and fail_key in _LOD_FAILED_KEYS:
         lod = False  # known-failing shape: go straight to exact
-    lod_kw = {}
-    if lod:
-        render_fn = render_rays_eval_lod
-        if isinstance(lod, tuple):
-            lod_kw = {"coarse_levels": lod[0], "top_k": lod[1]}
-    else:
-        render_fn = render_rays_eval
 
-    def _run(fn, kw):
-        # dispatch every chunk before fetching any: JAX dispatch is async,
-        # so the device renders chunk i+1 while the host pulls chunk i
-        # through the (slow — finding 11) transport instead of idling.
-        # The np.asarray fetches stay INSIDE the caller's try: dispatch is
-        # async, so execution-time failures surface at fetch time.
-        outs = [
-            fn(params, grid, origins[i : i + chunk], dirs[i : i + chunk],
-               iter_nr_anneal, 1.0, forced_variance, cfg, **kw)
-            for i in range(0, n + pad, chunk)
-        ]
-        rgb = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
-        nrm = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
-        alpha = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
-        return rgb, nrm, alpha
+    # ONE dispatch for the whole view (device-side lax.map over chunks;
+    # two dispatches for the two-stage LOD path) — the host chunk loop
+    # costs one transport round-trip PER CHUNK, which on the remote
+    # tunnel dwarfs the render itself (finding 27)
+    o_c = origins.reshape(-1, chunk, 3)
+    d_c = dirs.reshape(-1, chunk, 3)
+
+    def _exact():
+        return render_rays_eval_batched(params, grid, o_c, d_c,
+                                        iter_nr_anneal, 1.0,
+                                        forced_variance, cfg)
 
     try:
-        rgb, nrm, alpha = _run(render_fn, lod_kw)
+        if lod:
+            cl, tk = lod if isinstance(lod, tuple) else (12, 32)
+            mid = _lod_coarse_mlpconst_jit(
+                params, grid, o_c, d_c, iter_nr_anneal, 1.0,
+                forced_variance, cfg, cl, tk, batched=True)
+            outs = _lod_fine_jit_batched(params, mid, o_c, d_c,
+                                         iter_nr_anneal, 1.0,
+                                         forced_variance, cfg)
+        else:
+            outs = _exact()
+        # fetch inside the try: dispatch is async, so execution-time
+        # failures surface here and still hit the fallback
+        rgb, nrm, alpha = (np.asarray(o) for o in outs)
     except jax.errors.JaxRuntimeError as e:
         if not lod:
             raise
@@ -1179,9 +1218,10 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
         _LOD_FAILED_KEYS.add(fail_key)
         print(f"[render_image] LOD render failed ({e!r:.200}); "
               "falling back to exact render", flush=True)
-        rgb, nrm, alpha = _run(render_rays_eval, {})
-    return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
-            alpha.reshape(height, width, 1))
+        rgb, nrm, alpha = (np.asarray(o) for o in _exact())
+    return (rgb.reshape(-1, 3)[:n].reshape(height, width, 3),
+            nrm.reshape(-1, 3)[:n].reshape(height, width, 3),
+            alpha.reshape(-1)[:n].reshape(height, width, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nr_sphere_traces",
