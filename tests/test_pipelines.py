@@ -530,3 +530,53 @@ def test_lod_eval_render_agrees_with_exact(tiny_reel):
     assert rgb_d.mean() < 0.02, rgb_d.mean()
     assert np.mean(rgb_d.max(-1) > 0.15) < 0.03, np.mean(rgb_d.max(-1) > 0.15)
     assert np.mean(a_d > 0.15) < 0.05, np.mean(a_d > 0.15)
+
+
+def test_batched_render_matches_per_chunk_dispatch(tiny_reel):
+    """The one-dispatch lax.map render (finding 27) must be bit-identical
+    to dispatching render_rays_eval per chunk, for exact AND lod modes."""
+    import jax.numpy as jnp
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    from permuto_sdf_tpu.datasets.tensor_reel import rays_from_frame
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32,
+        grid_nr_voxels_per_dim=16, grid_nr_random_samples=512,
+        max_nr_samples_per_ray=8, nr_samples_imp_sampling=4,
+        nr_samples_bg=4, render_sample_budget=None,
+    )
+    params = t.init_params(jax.random.PRNGKey(0), cfg, nr_cams=2)
+    grid = og.make_occupancy_grid(cfg.grid)
+    K = np.asarray(tiny_reel.K[0])
+    tf = np.asarray(tiny_reel.tf_world_cam[0])
+    W, H, chunk = 16, 12, 64
+
+    origins, dirs = rays_from_frame(K, tf, W, H)
+    n = origins.shape[0]
+    pad = (-n) % chunk
+    origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+    dirs = jnp.concatenate(
+        [dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+
+    # exact: render_image (batched inside) vs per-chunk render_rays_eval
+    rgb_img, nrm_img, a_img = t.render_image(params, grid, K, tf, W, H, 50,
+                                             cfg, chunk=chunk)
+    outs = [t.render_rays_eval(params, grid, origins[i:i + chunk],
+                               dirs[i:i + chunk], 50, 1.0, 0.8, cfg)
+            for i in range(0, n + pad, chunk)]
+    rgb_ref = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
+    np.testing.assert_array_equal(rgb_img.reshape(-1, 3), rgb_ref)
+
+    # lod: render_image(lod=...) (two batched programs) vs the unbatched
+    # two-stage dispatch
+    lod = (2, 4)
+    rgb_lod, _, _ = t.render_image(params, grid, K, tf, W, H, 50, cfg,
+                                   chunk=chunk, lod=lod)
+    outs = [t.render_rays_eval_lod(params, grid, origins[i:i + chunk],
+                                   dirs[i:i + chunk], 50, 1.0, 0.8, cfg,
+                                   coarse_levels=lod[0], top_k=lod[1])
+            for i in range(0, n + pad, chunk)]
+    rgb_lref = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
+    np.testing.assert_allclose(rgb_lod.reshape(-1, 3), rgb_lref,
+                               atol=1e-6, rtol=1e-6)
