@@ -1154,7 +1154,16 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
                 mid = stage_a(p, g, None, o, v, s)
                 return stage_b(p, g, mid, o, v, s)
         else:
-            renderer = make_dp_ray_renderer(_eval_render_fn, mesh, 3, cfg=cfg)
+            # exact DP path: ONE dispatch for the whole view (device-side
+            # lax.map over each device's chunk slices — finding 27)
+            from permuto_sdf_tpu.parallel.render import dp_render_batched
+
+            rgb, nrm, alpha = dp_render_batched(
+                _eval_render_fn, mesh, params, grid, origins, dirs, scalars,
+                chunk_local, cfg=cfg)
+            return (rgb.reshape(height, width, 3),
+                    nrm.reshape(height, width, 3),
+                    alpha.reshape(height, width, 1))
         # pad rays start outside the bound pointing away -> no work
         try:
             rgb, nrm, alpha = dp_render_chunked(
