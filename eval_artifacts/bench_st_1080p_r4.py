@@ -44,6 +44,10 @@ BASE = {"nr_rounds": 3, "iters_per_round": 5, "jump_substeps": 4,
         "prepass_jumps": 16}
 
 VARIANTS = {
+    # the r3 winner EXACTLY (bf16-packed gathers) — the in-session
+    # baseline: transport-session overhead varies ~5x across sessions
+    # (finding 27), so the r3 absolute 10.6 s is only comparable to this
+    "r3_packed_baseline": dict(BASE, packed=True),
     # r3 winner settings re-measured on the r4 (row-gather) encode path
     "r4_row_default": dict(BASE),
     # per-round LOD ramps: march most rays at very coarse LOD
@@ -54,14 +58,21 @@ VARIANTS = {
                                   lod_schedule=(4, 6, 8, 12)),
 }
 if os.environ.get("ST_SMOKE"):
-    VARIANTS = {"r4_row_default": dict(BASE)}
+    VARIANTS = {"r4_row_default": dict(BASE),
+                "r3_packed_baseline": dict(BASE, packed=True),
+                "lod_sched_4_8_12": dict(BASE, lod_schedule=(4, 8, 12))}
 
 Kv, tfv = syn.spiral_camera(8.5, 200, 200, 1.3, 32.0, 24)
 gt, mask = syn._render_view(Kv, tfv, 200, 200)
 m = mask.astype(bool).reshape(200, 200)
 
+import dataclasses
+
 rows = {}
 for name, kw in VARIANTS.items():
+    kw = dict(kw)
+    vcfg = (dataclasses.replace(cfg, table_row_gather=False)
+            if kw.pop("packed", False) else cfg)
     passes = []
     for p in range(2):
         times = []
@@ -70,12 +81,12 @@ for name, kw in VARIANTS.items():
             tf = look_at_cam_to_world(eye).astype(np.float32)
             t0 = time.perf_counter()
             rgb, nrm, a = tps.render_image_sphere_traced_fast(
-                params, grid, K, tf, W, H, 9_999_999, cfg,
+                params, grid, K, tf, W, H, 9_999_999, vcfg,
                 dist_field=dist_field, **kw)
             times.append(round(time.perf_counter() - t0, 2))
         passes.append(times)
     rgb_q, _, _ = tps.render_image_sphere_traced_fast(
-        params, grid, Kv, tfv, 200, 200, 9_999_999, cfg,
+        params, grid, Kv, tfv, 200, 200, 9_999_999, vcfg,
         dist_field=dist_field, **kw)
     mse = float(np.mean((rgb_q[m] - np.asarray(gt)[m]) ** 2))
     rows[name] = {
