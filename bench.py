@@ -109,12 +109,26 @@ def main():
     # level skipping (c2f_level_skip) therefore does NOT flatter this
     # number — it only accelerates the (unmeasured) early phase, exactly
     # as in a real run.
+    # The r4 throughput levers are ON by default — they are the
+    # recommended training profile: quality-guarded at equal iterations
+    # (-1.0 dB, eval_artifacts/quality_ab_r4.json) and BETTER at equal
+    # wall-clock (+4.1 dB, quality_ab_r4_timematched.json; flagship
+    # on-chip run in mask_quality_run.json). --no-levers benchmarks the
+    # reference-behavior step (every sample full-res, every level's
+    # table updated every step).
+    levers = (
+        {}
+        if "--no-levers" in sys.argv
+        else dict(train_lod_top_k=24, train_lod_rand_extra=8,
+                  table_grad_alternate=True)
+    )
     cfg = tps.PermutoSDFTrainConfig(  # full reference scale
         nr_iter_sphere_fit=sphere_iters,
         sphere_init_points=30000,
         warmup_iters=100,
         forced_variance_finish_iter=60 if quick else 600,
         sdf_nr_iters_for_c2f=50 if quick else 400,
+        **levers,
     )
     reel = make_synthetic_reel(nr_views=4, width=100, height=100)
     target_nr_samples = cfg.nr_rays * (
@@ -249,6 +263,8 @@ def main():
         # 62 ms step; our settled bucket may carry fewer samples per ray)
         "vs_baseline": round(min(vs_rays, vs_samples), 3),
         "detail": {
+            "lever_profile": ("row+lod24+par" if levers else
+                              "row only (--no-levers)"),
             "vs_baseline_rays": round(vs_rays, 3),
             "vs_baseline_samples": round(vs_samples, 3),
             "windows_rays_per_sec": [round(r, 1) for r in window_rays_s],
