@@ -115,8 +115,14 @@ def render_frame(params, grid, cfg, state: ViewerState):
 
     K, tf = state.camera()
     if state.mode == "sphere":
+        # measured 1080p operating point (finding 28,
+        # eval_artifacts/bench_st_1080p_r4.json): per-round LOD ramp
+        # 6->12->18 with 3 refine iters is 1.35x faster than fixed
+        # lod-12 AND +0.4 dB (7.9 s vs 10.6 s at 1080p on one v5e)
         rgb, nrm, _ = tps.render_image_sphere_traced_fast(
             params, grid, K, tf, state.width, state.height, 9_999_999, cfg,
+            nr_rounds=3, iters_per_round=5, nr_refine_iters=3,
+            lod_schedule=(6, 12, 18),
         )
     else:
         # interactive volumetric preview uses the level-LOD eval renderer
