@@ -199,7 +199,7 @@ def main():
         if aux is not None and (it % 25) == 0:
             cur = max(float(aux["nr_samples"]), 1.0)
             want = int(cfg.nr_rays * target_nr_samples / cur)
-            bucket = tps._ray_bucket(want, lo=512, hi=4096)
+            bucket = tps._ray_bucket(want, lo=512, hi=4096, current=cfg.nr_rays)
             if bucket != cfg.nr_rays:
                 cfg = dataclasses.replace(cfg, nr_rays=bucket)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
@@ -214,6 +214,22 @@ def main():
     valid_samples_total = 0.0
     elapsed_total = 0.0
     for w in range(nr_windows):
+        # the grid keeps sparsifying during the measured stretch; between
+        # windows, let the rebalancer track the valid-sample budget the way
+        # train() does (the reference rebalances every step), then run a few
+        # unmeasured settle iters so a re-jit never lands inside a window
+        if w > 0 and aux is not None:
+            cur = max(float(aux["nr_samples"]), 1.0)
+            want = int(cfg.nr_rays * target_nr_samples / cur)
+            bucket = tps._ray_bucket(want, lo=512, hi=4096, current=cfg.nr_rays)
+            if bucket != cfg.nr_rays:
+                cfg = dataclasses.replace(cfg, nr_rays=bucket)
+                for it in range(start, start + 3):
+                    params, opt_state, grid, last_inv_s, aux = one_iter(
+                        it, cfg, params, opt_state, grid, last_inv_s
+                    )
+                jax.block_until_ready(aux["nr_samples"])
+                start += 3
         nr_samples_log = []
         t0 = time.perf_counter()
         for it in range(start, start + measure_iters):

@@ -1741,13 +1741,25 @@ def _c2f_active_levels(it_anneal: int, cfg: PermutoSDFTrainConfig):
     return None if act >= cfg.nr_levels else act
 
 
-def _ray_bucket(n: int, lo: int = 128, hi: int = 4096) -> int:
-    """Snap a desired ray count to a power-of-2 bucket so the step re-jits
-    at most log2(hi/lo) times."""
+def _ray_bucket(n: int, lo: int = 128, hi: int = 4096,
+                current: int | None = None) -> int:
+    """Snap a desired ray count UP to the {2^k, 3*2^(k-1)} rung ladder
+    (..., 512, 768, 1024, 1536, 2048, 3072, 4096): the 1.33-1.5x spacing
+    lets the dynamic rebalancer actually HOLD the reference's fixed
+    valid-sample budget (49k — train_permuto_sdf.py:104) once the grid
+    sparsifies, where pure power-of-2 rungs overshoot/undershoot by up
+    to 2x and settle far under budget. Costs at most one extra re-jit
+    per octave vs the r3 pow2 ladder. ``lo`` must be a power of 2.
+
+    With ``current`` set, stays on the current rung while the desired
+    count is within +-20% of it (hysteresis: per-step valid-count noise
+    must not flip adjacent 1.33x rungs and churn re-jits)."""
+    if current is not None and 0.8 * current <= n <= 1.2 * current:
+        return current
     b = lo
     while b < n and b < hi:
-        b *= 2
-    return b
+        b = (b * 3 // 2) if (b & (b - 1)) == 0 else (b * 4 // 3)
+    return min(b, hi)
 
 
 def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
@@ -1891,7 +1903,7 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                 # (host-side; fetches one scalar)
                 cur = max(float(aux["nr_samples"]), 1.0)
                 want = int(cfg.nr_rays * target_nr_samples / cur)
-                bucket = _ray_bucket(want)
+                bucket = _ray_bucket(want, current=cfg.nr_rays)
                 if bucket != cfg.nr_rays:
                     cfg = dataclasses.replace(cfg, nr_rays=bucket)
 

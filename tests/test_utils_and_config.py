@@ -138,3 +138,21 @@ def test_flagship_lr_schedule():
         float(lr_schedule(cfg, cfg.nr_iter_sphere_fit + 120000)),
         cfg.lr * 0.3, rtol=1e-5,
     )  # one milestone passed
+
+
+def test_ray_bucket_rung_ladder_and_hysteresis():
+    from permuto_sdf_tpu.train.train_permuto_sdf import _ray_bucket
+
+    # the {2^k, 3*2^(k-1)} ladder from lo=512
+    assert [_ray_bucket(n, lo=512) for n in (1, 512, 513, 769, 1025, 1537,
+                                             2049, 3073, 9999)] == \
+        [512, 512, 768, 1024, 1536, 2048, 3072, 4096, 4096]
+    # snaps UP: the chosen rung always covers the desired count (until hi)
+    for n in range(1, 4097, 37):
+        assert _ray_bucket(n, lo=128) >= min(n, 4096)
+    # hysteresis: within +-20% of the current rung, stay put
+    assert _ray_bucket(1100, lo=512, current=1024) == 1024
+    assert _ray_bucket(900, lo=512, current=1024) == 1024
+    # outside the deadband, move
+    assert _ray_bucket(1400, lo=512, current=1024) == 1536
+    assert _ray_bucket(700, lo=512, current=1024) == 768
