@@ -80,11 +80,15 @@ class PermutoSDFTrainConfig:
     # gathers of the finest levels, which dominate the no-grad sampling
     # stage on TPU (XLA gathers are instance-cost-bound; see PERFORMANCE.md).
     # The final render always re-evaluates the full-resolution SDF.
-    # Default None: measured on TPU v5e the truncation does NOT pay at the
-    # flagship scale (737 -> 752 ms/step; the sampling stage is not
-    # gather-bound there — see PERFORMANCE.md); it DOES pay for larger
-    # sample budgets / level counts, so the knob stays.
-    imp_sampling_max_levels: int | None = None
+    # Default 12: on the r2-era graph the truncation did not pay (737 ->
+    # 752 ms/step) because the step was gather-instance-bound elsewhere;
+    # on the r4 lever graph it does — 243.8 -> 223.9 ms at 1024 rays
+    # (profiling/breakdown_r4.json) — and is quality-NEUTRAL at equal
+    # iterations on chip (+0.44 dB fg PSNR / +0.003 IoU as part of the
+    # isp12+curv8192 pack, eval_artifacts/quality_ab_r4_isp.json). The
+    # proxy only PLACES samples; importance-sample z's are identical in
+    # distribution up to the proxy's sub-voxel sdf error.
+    imp_sampling_max_levels: int | None = 12
     # "forward" (jvp) or "reverse" (vjp, the torch-autograd analog); the
     # spatial gradients are identical either way (see models/fields.py).
     # Default reverse: measured 737 vs 780 ms/step on TPU v5e at flagship
@@ -131,7 +135,11 @@ class PermutoSDFTrainConfig:
     # uniformly at random every step, so the prefix is a random ray
     # subset. Reference behavior at curvature_sample_budget=None
     # (train_permuto_sdf.py:352-366 evaluates all samples).
-    curvature_sample_budget: int | None = 16384
+    # Default 8192 (was 16384): 243.8 -> 232.6 ms at 1024 rays
+    # (profiling/breakdown_r4.json) and quality-neutral on chip at equal
+    # iterations (eval_artifacts/quality_ab_r4_isp.json — the curvature
+    # term is annealed to zero mid-training anyway).
+    curvature_sample_budget: int | None = 8192
     # Train-time per-sample level-of-detail (the training analog of the
     # finding-20 eval LOD renderer — VERDICT r3 item 1b). The importance
     # sampler already evaluates a (stop-gradient) proxy SDF at every
@@ -159,7 +167,14 @@ class PermutoSDFTrainConfig:
     # the update's gather cost ~30% (the zero-fill concat that previously
     # made proxies unprofitable is gone — sdf_apply slices the first MLP
     # layer instead). None = all levels.
-    grid_update_max_levels: int | None = 17
+    # Default 14 (was 17): level 14's scale (10^(-4*14/23) ~= 3.7e-3) is
+    # already at the 256^3 half-diagonal (3.4e-3). Measured on the TRAINED
+    # flagship sdf (fine levels carrying real geometry): update 171.6 ->
+    # 104.2 ms with bitfield IoU 0.99987 vs the full-level update — the
+    # SAME 16/184547 missed voxels as max_levels=17
+    # (profiling/breakdown_r4.json); misses are transient across the
+    # every-8-iters stratified refresh.
+    grid_update_max_levels: int | None = 14
     # encoding sizes (shrink for smoke tests)
     capacity: int = 2 ** 18
     nr_levels: int = 24
