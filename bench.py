@@ -85,7 +85,8 @@ def main():
 
     from permuto_sdf_tpu.train import train_permuto_sdf as tps
     from permuto_sdf_tpu.ops import occupancy_grid as og
-    from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
+    from permuto_sdf_tpu.datasets.synthetic import (bench_scene_sdf,
+                                                    make_synthetic_reel)
 
     sphere_iters = 100 if quick else 300
     warmup_iters = 60 if quick else 1100
@@ -130,7 +131,13 @@ def main():
         sdf_nr_iters_for_c2f=50 if quick else 400,
         **levers,
     )
-    reel = make_synthetic_reel(nr_views=4, width=100, height=100)
+    # bench scene: ~1.6% steady-state band occupancy at 256^3, the sample
+    # load of a DTU scan (the reference's 62 ms was measured there). The
+    # default sphere+torus scene settles to 0.14% occupied — an empty
+    # scene whose per-valid-sample throughput says little about the step
+    # (PERFORMANCE.md finding 32).
+    reel = make_synthetic_reel(nr_views=4, width=100, height=100,
+                               sdf_fn=bench_scene_sdf, fov_deg=45.0)
     target_nr_samples = cfg.nr_rays * (
         cfg.max_nr_samples_per_ray + 2 * cfg.nr_samples_imp_sampling
     )

@@ -25,9 +25,57 @@ def scene_sdf(p):
     return jnp.minimum(sphere, torus)
 
 
-def scene_normal(p):
-    g = jax.grad(lambda q: scene_sdf(q).sum())(p)
+def scene_normal(p, sdf_fn=scene_sdf):
+    g = jax.grad(lambda q: sdf_fn(q).sum())(p)
     return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12)
+
+
+def _sd_sphere(p, c, r):
+    return jnp.linalg.norm(p - jnp.asarray(c), axis=-1) - r
+
+
+def _sd_torus(p, c, R, r, axis=2):
+    q = p - jnp.asarray(c)
+    ix = [i for i in range(3) if i != axis]
+    xy = jnp.linalg.norm(q[..., ix], axis=-1)
+    return jnp.sqrt((xy - R) ** 2 + q[..., axis] ** 2) - r
+
+
+def _sd_box(p, c, b, rad=0.02):
+    q = jnp.abs(p - jnp.asarray(c)) - jnp.asarray(b)
+    return (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+            + jnp.minimum(jnp.max(q, axis=-1), 0.0) - rad)
+
+
+def bench_scene_sdf(p):
+    """Busier analytic scene for throughput benchmarking.
+
+    The default ``scene_sdf`` (sphere+torus) settles to ~0.14% occupancy
+    at 256^3 — far below the ~2% a DTU scan occupies — so a bench run on
+    it measures an unrealistically EMPTY steady state and the per-valid-
+    sample throughput normalization collapses for scene reasons
+    (PERFORMANCE.md finding 32). This scene (wrinkly central blob, two
+    interlocked tori, three satellites, a rounded box; everything inside
+    r=0.47) measures ~1.6% band occupancy at a 1-voxel band on the exact
+    field — reference-like sample load at steady state.
+
+    Returns a conservative distance LOWER bound (the sine-displaced blob
+    term is scaled by its Lipschitz constant) so the GT sphere tracer in
+    ``_render_view`` stays convergent.
+    """
+    blob = _sd_sphere(p, [0.0, 0.0, 0.0], 0.30) + 0.02 * (
+        jnp.sin(40 * p[..., 0]) * jnp.sin(40 * p[..., 1])
+        * jnp.sin(40 * p[..., 2]))
+    blob = blob / 1.9  # Lipschitz bound of the displaced field
+    t1 = _sd_torus(p, [0.0, 0.0, 0.0], 0.40, 0.030, axis=2)
+    t2 = _sd_torus(p, [0.0, 0.0, 0.0], 0.40, 0.030, axis=0)
+    s1 = _sd_sphere(p, [0.28, 0.28, 0.0], 0.06)
+    s2 = _sd_sphere(p, [-0.28, 0.28, 0.0], 0.06)
+    s3 = _sd_sphere(p, [0.0, -0.33, 0.18], 0.06)
+    bx = _sd_box(p, [0.0, 0.28, -0.20], [0.08, 0.035, 0.08])
+    return jnp.minimum(blob, jnp.minimum(
+        jnp.minimum(t1, t2),
+        jnp.minimum(jnp.minimum(s1, s2), jnp.minimum(s3, bx))))
 
 
 def scene_color(p, n):
@@ -96,7 +144,7 @@ def _render_view(K, tf, width, height, sdf_fn=scene_sdf, n_steps: int = 96,
 
     t, hit = trace(origins, dirs)
     p = origins + t[..., None] * dirs
-    n = scene_normal(p)
+    n = scene_normal(p, sdf_fn=sdf_fn)
     rgb = scene_color(p, n)
     if bg_mode == "textured":
         bg = bg_color_at(_bg_sphere_hit(origins, dirs))

@@ -279,8 +279,13 @@ def compute_samples_in_occupied_regions(
     # cum[p] = occupied length after probe p. Find first probe with cum > arc,
     # place t inside that probe proportionally.
     cum = jnp.cumsum(occ_f * seg_len[:, None], axis=-1)  # [R, P]
+    # method="compare_all": the default binary-search lowering is a
+    # serial while loop on TPU (~13 ms/step of the traced r4 lever step,
+    # profiling/trace_top_ops.json while.18); the dense compare+sum form
+    # is pure vector work with identical results.
     idx = jax.vmap(
-        lambda c, a: jnp.searchsorted(c, a, side="right")
+        lambda c, a: jnp.searchsorted(c, a, side="right",
+                                      method="compare_all")
     )(cum, arc)  # [R, S] probe index whose segment contains the arc position
     idx = jnp.clip(idx, 0, occ.shape[1] - 1)
     cum_before = jnp.where(

@@ -260,7 +260,10 @@ def importance_sample(samples: RaySamples, cdf, nr_importance_samples: int,
     nr = samples.nr_samples_per_ray()  # [R]
     # make invalid slots' cdf +inf so searchsorted stays within the valid prefix
     cdf_valid = jnp.where(samples.mask, cdf, jnp.inf)
-    imax = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf_valid, u)
+    # compare_all: avoid the serial binary-search while loop on TPU
+    # (see occupancy_grid.compute_samples_in_occupied_regions)
+    imax = jax.vmap(lambda c, uu: jnp.searchsorted(
+        c, uu, side="right", method="compare_all"))(cdf_valid, u)
     imax = jnp.clip(imax, 1, jnp.maximum(nr - 1, 1)[:, None])
     imin = imax - 1
 
