@@ -165,7 +165,8 @@ def main():
         # per-step static switches, exactly as train() drives them
         step_cfg = cfg
         if cfg.table_grad_alternate:
-            step_cfg = dataclasses.replace(cfg, table_grad_parity=it % 2)
+            step_cfg = dataclasses.replace(
+                cfg, table_grad_parity=it % cfg.table_grad_period)
         params, opt_state, loss, aux = tps.train_step(
             params, opt_state, grid, reel, k_step, jnp.asarray(it), step_cfg,
             optimizer

@@ -68,6 +68,7 @@ class SDFConfig:
     table_row_gather: bool = True
     # alternating-level table gradients (ops/permuto_encoding.py docstring)
     grad_level_parity: int | None = None
+    grad_level_period: int = 2
     # coarse-to-fine level skipping: when set, every encode behaves as if
     # max_levels=active_levels — the trainer drives this from the c2f
     # window front so levels whose window weight is still exactly 0 never
@@ -86,6 +87,7 @@ class SDFConfig:
             row_gather=self.table_row_gather and self.gradient_mode != "forward",
             sorted_scatter=self.sorted_scatter,
             grad_level_parity=self.grad_level_parity,
+            grad_level_period=self.grad_level_period,
         )
 
 
@@ -233,6 +235,7 @@ class RGBConfig:
     table_row_gather: bool = True
     sorted_scatter: bool = False
     grad_level_parity: int | None = None
+    grad_level_period: int = 2
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -246,6 +249,7 @@ class RGBConfig:
             row_gather=self.table_row_gather,
             sorted_scatter=self.sorted_scatter,
             grad_level_parity=self.grad_level_parity,
+            grad_level_period=self.grad_level_period,
         )
 
     @property
@@ -307,6 +311,7 @@ class NerfHashConfig:
     table_row_gather: bool = True
     sorted_scatter: bool = False
     grad_level_parity: int | None = None
+    grad_level_period: int = 2
 
     @property
     def encoding(self) -> PermutoEncodingSpec:
@@ -320,6 +325,7 @@ class NerfHashConfig:
             row_gather=self.table_row_gather,
             sorted_scatter=self.sorted_scatter,
             grad_level_parity=self.grad_level_parity,
+            grad_level_period=self.grad_level_period,
         )
 
 

@@ -587,3 +587,44 @@ def test_row2_gather_matches_flat_exactly():
         np.asarray(jax.grad(eik)(params, spec_r)["lattice_values"]),
         np.asarray(jax.grad(eik)(params, spec)["lattice_values"]),
         rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("period", [3, 4])
+def test_grad_level_period_generalization(period):
+    """grad_level_period > 2: forward identical; table grads match the
+    default exactly on levels == parity (mod period) and are zero
+    elsewhere; cycling parity over a full period covers every level."""
+    import dataclasses as dc
+    from permuto_sdf_tpu.ops.permuto_encoding import (
+        PermutoEncodingSpec, init_encoding_params, permuto_encode)
+
+    spec = PermutoEncodingSpec(pos_dim=3, capacity=256, nr_levels=7,
+                               row_gather=True)
+    params = init_encoding_params(jax.random.PRNGKey(0), spec)
+    params["lattice_values"] = params["lattice_values"] * 1e3
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.4,
+                             maxval=0.4)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (64, spec.output_dims))
+
+    def loss(p, s):
+        return jnp.sum(permuto_encode(p, pts, s) * cot)
+
+    g_full = jax.grad(loss)(params, spec)["lattice_values"]
+    covered = set()
+    for parity in range(period):
+        spec_p = dc.replace(spec, grad_level_parity=parity,
+                            grad_level_period=period)
+        np.testing.assert_allclose(
+            np.asarray(permuto_encode(params, pts, spec_p)),
+            np.asarray(permuto_encode(params, pts, spec)), rtol=0, atol=0)
+        g_p = jax.grad(loss)(params, spec_p)["lattice_values"]
+        for lvl in range(spec.nr_levels):
+            if lvl % period == parity:
+                covered.add(lvl)
+                np.testing.assert_allclose(np.asarray(g_p[lvl]),
+                                           np.asarray(g_full[lvl]),
+                                           rtol=1e-6, atol=1e-9)
+            else:
+                assert float(jnp.abs(g_p[lvl]).max()) == 0.0
+    assert covered == set(range(spec.nr_levels))
