@@ -249,10 +249,12 @@ def main():
     audit["measured_grads_ms_parity_avg"] = results.get("lever step @ 1024 rays")
     audit["rates_ns_per_instance"] = {"gather": GATHER_NS, "scatter": SCATTER_NS}
     audit["note"] = (
-        "predicted = HLO gather/scatter instances x measured roofline "
-        "per-instance issue rates (roofline.json). predicted ~= measured "
-        "makes the 'instance-bound' claim checkable; the residual is "
-        "vector math, layout changes and dispatch."
+        "CAUTION (finding 33): this text parse UNDERCOUNTS — compiled "
+        "fusions hide operand shapes, so the real instance counts "
+        "(1.5-2M per hot gather/scatter, profiling/trace_top_ops.json) "
+        "are invisible to it. The device trace in "
+        "profiling/trace_step_r4.py is the authoritative accounting; "
+        "this audit is kept for the has_while_loops flag."
     )
     with open(os.path.join(OUT, "instance_audit.json"), "w") as f:
         json.dump(audit, f, indent=1)
