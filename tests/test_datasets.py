@@ -8,6 +8,7 @@ Covers the TPU-native equivalents of the reference's reel kernels:
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from permuto_sdf_tpu.datasets.tensor_reel import (
     TensorReel,
@@ -419,3 +420,42 @@ def test_no_mask_training_sees_unmasked_background_targets():
     # an untrained model on a bright textured bg cannot have near-zero rgb
     # loss unless the targets were zeroed
     assert float(aux["loss_rgb"]) > 0.05
+
+
+@pytest.mark.quick
+def test_bench_scene_occupancy_and_rendering():
+    """bench_scene_sdf (PERFORMANCE.md finding 32): everything inside the
+    r=0.5 training bound with clearance, band occupancy in the DTU-like
+    range (the reason the scene exists), and the GT renderer produces a
+    well-covered mask (the conservative Lipschitz-scaled field must still
+    sphere-trace correctly)."""
+    import numpy as np
+    from permuto_sdf_tpu.datasets.synthetic import (bench_scene_sdf,
+                                                    make_synthetic_reel)
+
+    # bound clearance on a shell just inside the training sphere
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(8192, 3)).astype(np.float32)
+    pts = pts / np.linalg.norm(pts, axis=-1, keepdims=True) * 0.49
+    assert float(jnp.min(bench_scene_sdf(jnp.asarray(pts)))) > 0.0
+
+    # band occupancy at 128^3: several times busier than the toy scene
+    # (whose emptiness starved the bench's samples normalization) while
+    # still a sparse surface band, not a filled volume
+    from permuto_sdf_tpu.datasets.synthetic import scene_sdf
+    ax = np.linspace(-0.5, 0.5, 128, dtype=np.float32)
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    sdf = np.asarray(jax.jit(bench_scene_sdf)(jnp.asarray(g)))
+    sdf_toy = np.asarray(jax.jit(scene_sdf)(jnp.asarray(g)))
+    band = 1.0 / 128
+    frac = float(np.mean(np.abs(sdf) < band))
+    frac_toy = float(np.mean(np.abs(sdf_toy) < band))
+    assert frac > 4.0 * frac_toy, (frac, frac_toy)
+    assert frac < 0.12, frac
+
+    reel = make_synthetic_reel(nr_views=2, width=64, height=64,
+                               sdf_fn=bench_scene_sdf, fov_deg=45.0)
+    m = np.asarray(reel.mask)
+    cov = m.reshape(2, -1).mean(axis=1)
+    assert (cov > 0.25).all() and (cov < 0.7).all(), cov
+    assert np.isfinite(np.asarray(reel.rgb)).all()
