@@ -121,7 +121,11 @@ def main():
         {}
         if "--no-levers" in sys.argv
         else dict(train_lod_top_k=24, train_lod_rand_extra=8,
-                  table_grad_alternate=True)
+                  table_grad_alternate=True,
+                  # hit-ray compaction, driven from the measured hit
+                  # fraction exactly like train() does (starts dense;
+                  # tightens as the grid sparsifies) — r5 lever
+                  hit_ray_frac=1.0)
     )
     cfg = tps.PermutoSDFTrainConfig(  # full reference scale
         nr_iter_sphere_fit=sphere_iters,
@@ -147,7 +151,16 @@ def main():
     opt_state = optimizer.init(params)
     grid = og.make_occupancy_grid(cfg.grid)
     key = jax.random.PRNGKey(1)
-    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0))
+    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0), jnp.float32)
+
+    # background AOT precompilation of predicted step graphs (VERDICT r4
+    # item 2): the first train graphs compile during sphere init; ladder
+    # moves compile one rung ahead of the rebalancer
+    from permuto_sdf_tpu.utils.precompile import StepPrecompiler
+
+    pre = StepPrecompiler()
+    tps._precompile_ahead(pre, params, opt_state, grid, reel, optimizer,
+                          cfg, 0)
 
     compile_events = []  # (iter, seconds) for slow (compiling) dispatches
 
@@ -206,10 +219,18 @@ def main():
         # snapped to power-of-2 buckets (one compile per bucket)
         if aux is not None and (it % 25) == 0:
             cur = max(float(aux["nr_samples"]), 1.0)
+            prev_rays = cfg.nr_rays
             want = int(cfg.nr_rays * target_nr_samples / cur)
             bucket = tps._ray_bucket(want, lo=512, hi=4096, current=cfg.nr_rays)
             if bucket != cfg.nr_rays:
                 cfg = dataclasses.replace(cfg, nr_rays=bucket)
+            if cfg.hit_ray_frac is not None and "nr_hit_rays" in aux:
+                hf = float(aux["nr_hit_rays"]) / max(prev_rays, 1)
+                frac = tps._hit_frac_bucket(hf, cfg.hit_ray_frac)
+                if frac != cfg.hit_ray_frac:
+                    cfg = dataclasses.replace(cfg, hit_ray_frac=frac)
+            tps._precompile_ahead(pre, params, opt_state, grid, reel,
+                                  optimizer, cfg, it)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     warm_s = time.perf_counter() - t0
 
@@ -228,10 +249,19 @@ def main():
         # unmeasured settle iters so a re-jit never lands inside a window
         if w > 0 and aux is not None:
             cur = max(float(aux["nr_samples"]), 1.0)
+            prev_rays = cfg.nr_rays
             want = int(cfg.nr_rays * target_nr_samples / cur)
             bucket = tps._ray_bucket(want, lo=512, hi=4096, current=cfg.nr_rays)
-            if bucket != cfg.nr_rays:
+            changed = bucket != cfg.nr_rays
+            if changed:
                 cfg = dataclasses.replace(cfg, nr_rays=bucket)
+            if cfg.hit_ray_frac is not None and "nr_hit_rays" in aux:
+                hf = float(aux["nr_hit_rays"]) / max(prev_rays, 1)
+                frac = tps._hit_frac_bucket(hf, cfg.hit_ray_frac)
+                if frac != cfg.hit_ray_frac:
+                    cfg = dataclasses.replace(cfg, hit_ray_frac=frac)
+                    changed = True
+            if changed:
                 for it in range(start, start + 3):
                     params, opt_state, grid, last_inv_s, aux = one_iter(
                         it, cfg, params, opt_state, grid, last_inv_s
@@ -244,7 +274,11 @@ def main():
             params, opt_state, grid, last_inv_s, aux = one_iter(
                 it, cfg, params, opt_state, grid, last_inv_s
             )
-            nr_samples_log.append(aux["nr_samples"])  # fetched after the window
+            # rendered = what the step actually carried through the
+            # transmittance chain (== total valid unless a compaction
+            # budget overflowed); fetched after the window
+            nr_samples_log.append(aux.get("nr_samples_rendered",
+                                          aux["nr_samples"]))
         jax.block_until_ready(nr_samples_log[-1])
         elapsed = time.perf_counter() - t0
         start += measure_iters
@@ -286,6 +320,13 @@ def main():
         # per-valid-sample (the reference renders 49152 valid samples in its
         # 62 ms step; our settled bucket may carry fewer samples per ray)
         "vs_baseline": round(min(vs_rays, vs_samples), 3),
+        # both normalizations at top level (VERDICT r4 item 7): rays/s vs
+        # the reference's 512 rays / 62 ms; valid-samples/s vs its 49152
+        # valid samples / 62 ms. The headline is min() of the two so a
+        # settled operating point that carries fewer valid samples per ray
+        # than the reference cannot flatter the number.
+        "vs_baseline_rays": round(vs_rays, 3),
+        "vs_baseline_samples": round(vs_samples, 3),
         "detail": {
             "lever_profile": ("row+lod24+par" if levers else
                               "row only (--no-levers)"),
@@ -296,6 +337,7 @@ def main():
             "ms_per_iter_incl_grid_updates": round(
                 elapsed_total / (measure_iters * nr_windows) * 1e3, 1),
             "settled_nr_rays": cfg.nr_rays,
+            "settled_hit_ray_frac": cfg.hit_ray_frac,
             "mean_valid_samples_per_iter": round(
                 valid_samples_total / (measure_iters * nr_windows)),
             "valid_samples_per_sec": round(samples_per_sec),
@@ -310,12 +352,20 @@ def main():
             "compile_events": compile_events,
             "compile_s_total": round(sum(s for _, s in compile_events), 1),
             "n_compiles": len(compile_events),
-            # utilization of the measured chip rooflines: the step is
-            # gather/scatter INSTANCE-bound (roofline.json), so both
-            # fractions are far below 1 by design — they quantify how far
+            # background AOT precompiler accounting (predicted graphs
+            # compiled off the main thread into the persistent cache)
+            "precompile": pre.stats(),
+            # utilization of the measured chip matmul roofline: the step
+            # is gather/scatter INSTANCE-bound (roofline.json), so this is
+            # far below 1 by design — it quantifies how far
             "mfu_vs_measured_peak": round(mfu, 4) if mfu else None,
-            "hbm_frac_vs_measured_copy_bw": (round(hbm_frac, 4)
-                                             if hbm_frac else None),
+            # HLO cost-analysis "bytes accessed" rate. NOT an HBM-traffic
+            # fraction: the cost model counts logical operand bytes
+            # including on-chip reuse, so this can legitimately exceed the
+            # measured 1007 GB/s copy bandwidth (it did in r4; the r4
+            # "hbm_frac" label was wrong — VERDICT r4 weak #5)
+            "hlo_bytes_accessed_GB_per_s": (round(hbm_frac * 1007, 1)
+                                            if hbm_frac else None),
         },
     }))
 

@@ -159,6 +159,25 @@ class PermutoSDFTrainConfig:
     # at full resolution).
     train_lod_top_k: int | None = None
     train_lod_rand_extra: int = 8
+    # Hit-ray compaction (r5): at a sparse steady-state occupancy most
+    # sampled rays carry ZERO valid samples (they never cross an occupied
+    # voxel), yet the dense [R, S] layout pays the full-resolution
+    # SDF+RGB encode/VJP gather+scatter instances — the dominant step cost
+    # (PERFORMANCE.md finding 33) — for their LOD-selected slots too. The
+    # reference never pays this: its packed buffer holds only the samples
+    # of rays that hit occupied space (atomicAdd allocation,
+    # src/RaySamplesPacked.cu:19-42; rays with <=2 samples are zeroed,
+    # RaySamplerGPU.cuh:316-322). This is the static-shape equivalent:
+    # after sampling, rays with any valid sample are compacted into a
+    # ``ceil(R * hit_ray_frac)`` bucket (rounded up to 64); the whole fg
+    # field-evaluation + NeuS chain runs on that sub-batch; per-ray
+    # outputs scatter back (miss rays: rgb 0, weights_sum 0,
+    # bg_transmittance 1 — exactly what the dense path computes for them).
+    # EXACT by construction while hit rays fit the bucket (tested); on
+    # overflow the last hit rays are dropped for one step, like the
+    # reference's buffer-overflow ray skip (VolumeRenderingGPU.cuh:103).
+    # None disables (reference dense behavior).
+    hit_ray_frac: float | None = None
     # SDF proxy level count for occupancy updates. The occupancy test
     # thresholds the NeuS logistic density of max(|sdf| - 1.3*half_diag, 0):
     # at 256^3 the half-diagonal is 3.4e-3 while levels >= 17 have scales
@@ -369,6 +388,38 @@ def _pad_one(a, fill=0.0):
     return jnp.concatenate([a, pad], axis=0)
 
 
+def _hit_ray_budget(nr_rays: int, frac: float) -> int:
+    """Static hit-ray bucket size: ceil(R*frac) rounded up to 64."""
+    h = -(-int(nr_rays * frac) // 64) * 64
+    return max(64, min(nr_rays, h))
+
+
+def _take_rays(samples, ray_idx, ray_valid):
+    """Gather a static-size ray subset from a RaySamples batch. Fill
+    entries of ``ray_idx`` (== R) land on an appended all-invalid pad ray;
+    the mask is additionally cleared at invalid bucket slots, so overflow
+    and fill rows are indistinguishable from miss rays downstream."""
+    def take(a, fill=0.0):
+        return None if a is None else _pad_one(a, fill)[ray_idx]
+
+    mask = take(samples.mask, False) & ray_valid[:, None]
+    return dataclasses.replace(
+        samples,
+        origins=take(samples.origins), dirs=take(samples.dirs),
+        z=take(samples.z), dt=take(samples.dt), mask=mask,
+        ray_fixed_dt=take(samples.ray_fixed_dt),
+        sdf=take(samples.sdf), pos_4d=take(samples.pos_4d),
+    )
+
+
+def _scatter_rays(x, ray_idx, nr_rays: int, fill):
+    """Scatter per-ray values from the hit-compacted batch back to the
+    full ray batch (miss rays get ``fill``). Fill-indexed writes land on a
+    dropped pad row."""
+    base = jnp.full((nr_rays + 1,) + x.shape[1:], fill, x.dtype)
+    return base.at[ray_idx].set(x)[:nr_rays]
+
+
 def _masked_sdf_value(params_sdf, pts_flat, flat_mask, iter_nr, sdf_cfg,
                       budget, max_levels=None):
     """sdf at the VALID flat positions only (compacted, static budget);
@@ -397,6 +448,19 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
     k_samp, k_bg, k_sel = jax.random.split(key, 3)
     samples = _create_fg_samples(params, grid, k_samp, origins, dirs, t_entry,
                                  t_exit, iter_nr_anneal, cfg, jitter)
+    R0 = samples.mask.shape[0]
+    nr_samples_total = jnp.sum(samples.mask)
+    nr_hit_rays = jnp.sum(samples.valid_rays())
+    ray_idx = ray_valid = None
+    img_indices_fg = img_indices
+    if cfg.hit_ray_frac is not None and cfg.hit_ray_frac < 1.0:
+        # hit-ray compaction (see the cfg field's docstring): the entire
+        # fg field-evaluation below runs on the hit-ray sub-batch only
+        ray_idx, ray_valid = _compact_idx(samples.valid_rays(),
+                                          _hit_ray_budget(R0, cfg.hit_ray_frac))
+        samples = _take_rays(samples, ray_idx, ray_valid)
+        if img_indices is not None:
+            img_indices_fg = _pad_one(img_indices, 0)[ray_idx]
     R, S = samples.mask.shape
     M = R * S
     budget = min(M, cfg.render_sample_budget) if cfg.render_sample_budget else M
@@ -416,7 +480,11 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
         rows = jnp.arange(R)[:, None]
         _, ik = jax.lax.top_k(jnp.where(samples.mask, w_rank, -1.0), K)
         if E > 0:
-            scores = jax.random.uniform(k_sel, (R, S))
+            # draw at the PRE-compaction shape so the hit-compacted path
+            # selects bit-identical random slots to the dense path
+            scores = jax.random.uniform(k_sel, (R0, S))
+            if ray_idx is not None:
+                scores = _pad_one(scores, -1.0)[ray_idx]
             scores = scores.at[rows, ik].set(-1.0)  # exclude the top-K slots
             scores = jnp.where(samples.mask, scores, -1.0)
             _, ie = jax.lax.top_k(scores, E)
@@ -449,8 +517,8 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
 
     colorcal = params.get("colorcal")
     per_sample_img = (
-        jnp.broadcast_to(img_indices[:, None], (R, S)).reshape(-1)
-        if img_indices is not None else None
+        jnp.broadcast_to(img_indices_fg[:, None], (R, S)).reshape(-1)
+        if img_indices_fg is not None else None
     )
     if per_sample_img is not None and idx is not None:
         if use_train_lod:
@@ -464,7 +532,14 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
         per_sample_img_indices=per_sample_img,
     )
 
-    compact = {"pos": pos_c, "sdf": sdf_c, "grads": grads_c, "valid": valid_c}
+    compact = {"pos": pos_c, "sdf": sdf_c, "grads": grads_c, "valid": valid_c,
+               # sample accounting: total = all valid samples the samplers
+               # produced (the rebalancer's signal); rendered = what the
+               # step actually carried through the transmittance chain
+               # (differs only when a compaction budget overflowed)
+               "nr_samples_total": nr_samples_total,
+               "nr_samples_rendered": jnp.sum(samples.mask),
+               "nr_hit_rays": nr_hit_rays}
 
     if use_train_lod:
         # --- mixed per-ray arrays: full-resolution sdf / analytic cos at
@@ -501,6 +576,14 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
         grad_int = vr.integrate_with_weights(sdf_gradients.reshape(R, S, 3),
                                              weights, samples.mask)
     pred_normals = grad_int / (jnp.linalg.norm(grad_int, axis=-1, keepdims=True) + 1e-12)
+
+    if ray_idx is not None:
+        # scatter the hit-compacted per-ray results back to the full batch;
+        # miss rays get exactly what the dense path computes for them
+        pred_rgb = _scatter_rays(pred_rgb, ray_idx, R0, 0.0)
+        pred_normals = _scatter_rays(pred_normals, ray_idx, R0, 0.0)
+        weights_sum = _scatter_rays(weights_sum, ray_idx, R0, 0.0)
+        bg_transmittance = _scatter_rays(bg_transmittance, ray_idx, R0, 1.0)
 
     if not cfg.with_mask:
         bg_samples = compute_samples_bg(
@@ -552,7 +635,57 @@ def sphere_init_step(params, opt_state, key, iter_nr, cfg: PermutoSDFTrainConfig
     return params, opt_state, loss
 
 
+# ---------------------------------------------------------------------------
+# Static-key canonicalization: the host mutates cfg mid-run (ray bucket,
+# table-grad parity, c2f level front, hit fraction, enable flags) and cfg is
+# the static jit key — but the optimizer-update and occupancy-update graphs
+# do not depend on most of those fields. Normalizing the irrelevant fields
+# before the call keeps those graphs alive across every such mutation
+# (each spurious re-jit used to block the host 20-80 s on a cold cache —
+# VERDICT r4 missing #5). Fails CLOSED: a field not listed here merely
+# causes an extra recompile, never a wrong graph.
+# ---------------------------------------------------------------------------
+
+# fields irrelevant to apply_updates/lr_schedule/_apply_weight_decay (which
+# read only: lr, warmup_iters, lr_milestones, lr_decay_gamma,
+# nr_iter_sphere_fit, iter_start_reduce_curv; grads pytree structure is the
+# full params structure regardless of parity/LOD/act)
+_UPDATE_IRRELEVANT = dict(
+    nr_rays=512, table_grad_alternate=False, table_grad_parity=None,
+    table_grad_period=2, sdf_active_levels=None, hit_ray_frac=None,
+    train_lod_top_k=None, train_lod_rand_extra=8, enable_curvature=True,
+    enable_eikonal=True, enable_offsurface=True, enable_lipshitz=True,
+    c2f_level_skip=True, with_mask=False,
+)
+
+# fields irrelevant to the occupancy update (a fwd-only sdf probe eval:
+# no rays, no grads, no rgb/bg model, no losses). sdf_active_levels is
+# KEPT — the c2f front legitimately changes the probe's encode graph.
+_OCC_IRRELEVANT = dict(
+    nr_rays=512, table_grad_alternate=False, table_grad_parity=None,
+    table_grad_period=2, hit_ray_frac=None, train_lod_top_k=None,
+    train_lod_rand_extra=8, enable_curvature=True, enable_eikonal=True,
+    enable_offsurface=True, enable_lipshitz=True, with_mask=False,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _canon_update_cfg(cfg: PermutoSDFTrainConfig) -> PermutoSDFTrainConfig:
+    return dataclasses.replace(cfg, **_UPDATE_IRRELEVANT)
+
+
+@functools.lru_cache(maxsize=None)
+def _canon_occ_cfg(cfg: PermutoSDFTrainConfig) -> PermutoSDFTrainConfig:
+    return dataclasses.replace(cfg, **_OCC_IRRELEVANT)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _occupancy_update_jit(params, grid, key, iter_nr_anneal, inv_s,
+                          cfg: PermutoSDFTrainConfig):
+    return _occupancy_update_impl(params, grid, key, iter_nr_anneal, inv_s,
+                                  cfg)
+
+
 def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
                      cfg: PermutoSDFTrainConfig):
     """SDF-based occupancy refresh (train_permuto_sdf.py:386-392).
@@ -563,7 +696,21 @@ def occupancy_update(params, grid, key, iter_nr_anneal, inv_s,
 
     Voxel selection is STRATIFIED (bijective cycling, full grid coverage
     every nr_voxels/nr_samples updates) rather than the reference's iid
-    random subset — see compute_stratified_sample_of_grid_points."""
+    random subset — see compute_stratified_sample_of_grid_points.
+
+    The jit key is the CANONICALIZED cfg (see _canon_occ_cfg): host-driven
+    mutations of ray bucket / parity / hit fraction / enable flags never
+    recompile this graph. Scalar args are dtype-normalized (weak-typed
+    python ints / the first weak-typed inv_s vs later graph-output inv_s
+    used to silently compile the graph twice)."""
+    return _occupancy_update_jit(params, grid, key,
+                                 jnp.asarray(iter_nr_anneal, jnp.int32),
+                                 jnp.asarray(inv_s, jnp.float32),
+                                 _canon_occ_cfg(cfg))
+
+
+def _occupancy_update_impl(params, grid, key, iter_nr_anneal, inv_s,
+                           cfg: PermutoSDFTrainConfig):
     update_idx = jnp.asarray(iter_nr_anneal // cfg.grid_update_every,
                              jnp.uint32)
     centers, lin = og.compute_stratified_sample_of_grid_points(
@@ -726,7 +873,11 @@ def compute_loss_and_grads(params, grid, reel: TensorReel, key, iter_nr,
         aux = {
             "loss_rgb": loss_rgb, "loss_eikonal": loss_eik,
             "loss_curvature": loss_curv, "inv_s": inv_s,
-            "nr_samples": jnp.sum(samples.mask),
+            # rebalancer signal: PRE-compaction valid count (a budget
+            # overflow must shrink the ray bucket, not grow it)
+            "nr_samples": compact["nr_samples_total"],
+            "nr_samples_rendered": compact["nr_samples_rendered"],
+            "nr_hit_rays": compact["nr_hit_rays"],
         }
         return loss, aux
 
@@ -763,8 +914,10 @@ def train_step(params, opt_state, grid, reel: TensorReel, key, iter_nr,
     triggers a pathological fusion on this TPU toolchain (7-40 s/step vs
     ~0.7 s split — PERFORMANCE.md finding 5); two dispatches cost ~us."""
     loss, aux, grads = _grads_step(params, grid, reel, key, iter_nr, cfg)
-    params, opt_state = _update_step(params, opt_state, grads, iter_nr, cfg,
-                                     optimizer)
+    # canonicalized static key: bucket/parity/act/frac/enable mutations
+    # re-jit only the gradient graph, never the (identical) update graph
+    params, opt_state = _update_step(params, opt_state, grads, iter_nr,
+                                     _canon_update_cfg(cfg), optimizer)
     return params, opt_state, loss, aux
 
 
@@ -783,6 +936,10 @@ def _eval_render_fn(params, grid, aux, origins, dirs, iter_nr_anneal,
     is the explicit ``lod=`` argument of :func:`render_image`."""
     if cfg.train_lod_top_k is not None:
         cfg = dataclasses.replace(cfg, train_lod_top_k=None)
+    if cfg.hit_ray_frac is not None:
+        # training-batch contract like the LOD/sample budgets: an eval
+        # chunk may be object-dense, and dropped rays would be wrong pixels
+        cfg = dataclasses.replace(cfg, hit_ray_frac=None)
     pred_rgb, pred_normals, _, weights_sum, _, _, _ = run_net(
         params, grid, jax.random.PRNGKey(0), origins, dirs, None,
         iter_nr_anneal, cos_anneal_ratio, forced_variance, cfg, jitter=False,
@@ -1140,6 +1297,8 @@ def render_image(params, grid, K, tf_world_cam, width, height, iter_nr_anneal,
     if cfg.train_lod_top_k is not None:
         # training-batch contract, not an eval approximation (use lod= for that)
         cfg = dataclasses.replace(cfg, train_lod_top_k=None)
+    if cfg.hit_ray_frac is not None:
+        cfg = dataclasses.replace(cfg, hit_ray_frac=None)  # same contract
 
     origins, dirs = rays_from_frame(K, tf_world_cam, width, height)
     n = origins.shape[0]
@@ -1762,6 +1921,67 @@ def _c2f_active_levels(it_anneal: int, cfg: PermutoSDFTrainConfig):
     return None if act >= cfg.nr_levels else act
 
 
+def _precompile_ahead(pre, params, opt_state, grid, reel, optimizer, cfg,
+                      it: int):
+    """Predict the step graphs the loop is likely to need next and submit
+    them for background AOT compilation (utils/precompile.py — the graphs
+    land in the persistent compilation cache, turning the main loop's
+    eventual blocking compile into a fast deserialize). Predictions are
+    one rung away from the current operating point along each host-driven
+    dimension: the c2f level front (a pure function of the iteration), the
+    ray-bucket ladder and the hit-ray compaction ladder (both move as the
+    grid sparsifies), plus every table-grad parity of the period and the
+    curvature-off variant near its switch-off iteration. A misprediction
+    costs only background compile time; the sets are deduplicated."""
+    if pre is None or grid is None:
+        return
+    key = jax.random.PRNGKey(0)
+    it_arr = jnp.asarray(it)
+    it_anneal = max(it - cfg.nr_iter_sphere_fit, 0)
+
+    cands = [cfg]
+    if cfg.c2f_level_skip and it < cfg.nr_iter_sphere_fit:
+        # during sphere init, the first TRAIN step will run at the c2f
+        # front's initial level count, not at the live cfg's (None)
+        act0 = _c2f_active_levels(0, cfg)
+        if act0 != cfg.sdf_active_levels:
+            cands = [dataclasses.replace(cfg, sdf_active_levels=act0)]
+    if cfg.c2f_level_skip:
+        for da in (0, 50, 100, 200, 400):
+            act = _c2f_active_levels(it_anneal + da, cfg)
+            if act != cfg.sdf_active_levels:
+                cands.append(dataclasses.replace(cfg, sdf_active_levels=act))
+                break
+    nxt = _ray_bucket(cfg.nr_rays + 1)
+    if nxt != cfg.nr_rays:
+        cands.append(dataclasses.replace(cfg, nr_rays=nxt))
+    if cfg.hit_ray_frac is not None:
+        below = [f for f in _HIT_FRAC_LADDER if f < cfg.hit_ray_frac]
+        if below:
+            cands.append(dataclasses.replace(cfg, hit_ray_frac=below[-1]))
+    if (cfg.enable_curvature
+            and it_anneal + 300 >= cfg.iter_finish_reduce_curv):
+        cands.append(dataclasses.replace(cfg, enable_curvature=False))
+
+    for c in cands:
+        parities = (tuple(range(c.table_grad_period))
+                    if c.table_grad_alternate else (None,))
+        for p in parities:
+            cp = dataclasses.replace(c, table_grad_parity=p)
+            k = ("grads", cp.nr_rays, cp.sdf_active_levels, p,
+                 cp.hit_ray_frac, cp.enable_curvature)
+            pre.ensure(k, lambda cp=cp: _grads_step.lower(
+                params, grid, reel, key, it_arr, cp).compile())
+        co = _canon_occ_cfg(c)
+        pre.ensure(("occ", c.sdf_active_levels),
+                   lambda co=co: _occupancy_update_jit.lower(
+                       params, grid, key, jnp.asarray(it, jnp.int32),
+                       jnp.asarray(1.0, jnp.float32), co).compile())
+    cu = _canon_update_cfg(cfg)
+    pre.ensure(("update",), lambda: _update_step.lower(
+        params, opt_state, params, it_arr, cu, optimizer).compile())
+
+
 def _ray_bucket(n: int, lo: int = 128, hi: int = 4096,
                 current: int | None = None) -> int:
     """Snap a desired ray count UP to the {2^k, 3*2^(k-1)} rung ladder
@@ -1783,6 +2003,25 @@ def _ray_bucket(n: int, lo: int = 128, hi: int = 4096,
     return min(b, hi)
 
 
+_HIT_FRAC_LADDER = (0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
+
+
+def _hit_frac_bucket(hit_frac: float, current: float) -> float:
+    """Pick the hit-ray compaction fraction from a static rung ladder
+    given the measured hit fraction: the smallest rung with >=1.3x
+    headroom (so per-batch hit-count noise never overflows the bucket),
+    moving DOWN only when the lower rung still has >=1.8x headroom
+    (hysteresis — each move is a re-jit). 1.0 = compaction off (the dense
+    path; early training, grid still dense, every ray hits)."""
+    want = min(1.0, hit_frac * 1.3)
+    up = next((f for f in _HIT_FRAC_LADDER if f >= want), 1.0)
+    if up > current:
+        return up
+    down = next((f for f in _HIT_FRAC_LADDER
+                 if f >= min(1.0, hit_frac * 1.8)), 1.0)
+    return down if down < current else current
+
+
 def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
           nr_iters: int | None = None, seed: int = 0, log_every: int = 1000,
           checkpoint_path: str | None = None,
@@ -1790,7 +2029,8 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
           callbacks=None, dynamic_nr_rays: bool = True,
           resume_from: str | None = None,
           data_parallel: bool | None = None,
-          shard_reel_over_mesh: bool = False):
+          shard_reel_over_mesh: bool = False,
+          precompile_ahead: bool = False):
     """``dynamic_nr_rays`` is the reference's load-balancing trick
     (train_permuto_sdf.py:394-397): rescale the ray count so the total
     packed sample count stays near target_nr_of_samples — here snapped to
@@ -1850,7 +2090,7 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
     key = jax.random.PRNGKey(seed)
     optimizer = make_optimizer(cfg)
     start_iter = 0
-    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0))
+    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0), jnp.float32)
     if resume_from:
         st = ckpt.load_train_state(resume_from)
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
@@ -1866,6 +2106,16 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
         params = init_params(jax.random.fold_in(key, 0), cfg, nr_cams)
         opt_state = optimizer.init(params)
         grid = og.make_occupancy_grid(cfg.grid) if cfg.use_occupancy_grid else None
+
+    pre = None
+    if precompile_ahead and not data_parallel:
+        from permuto_sdf_tpu.utils.precompile import StepPrecompiler
+
+        pre = StepPrecompiler()
+        # first train-step graphs compile in the background DURING the
+        # sphere-init phase (VERDICT r4 missing #5)
+        _precompile_ahead(pre, params, opt_state, grid, reel, optimizer,
+                          cfg, start_iter)
 
     history = []
     t0 = time.perf_counter()
@@ -1895,7 +2145,7 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                     # probe-point SDF evals sharded over the mesh (the
                     # update itself is replicated — grid stays bitwise
                     # identical on every device)
-                    grid = make_dp_occupancy_update(mesh, cfg)(
+                    grid = make_dp_occupancy_update(mesh, _canon_occ_cfg(cfg))(
                         params, grid, k_grid, jnp.asarray(it_anneal),
                         last_inv_s)
                 else:
@@ -1924,10 +2174,21 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                 # rebalance ray count toward the fixed sample budget
                 # (host-side; fetches one scalar)
                 cur = max(float(aux["nr_samples"]), 1.0)
+                prev_rays = cfg.nr_rays  # the bucket aux was measured at
                 want = int(cfg.nr_rays * target_nr_samples / cur)
                 bucket = _ray_bucket(want, current=cfg.nr_rays)
                 if bucket != cfg.nr_rays:
                     cfg = dataclasses.replace(cfg, nr_rays=bucket)
+                # drive the hit-ray compaction fraction from the measured
+                # hit fraction (dense while the grid is dense; tightens as
+                # the scene sparsifies)
+                if cfg.hit_ray_frac is not None and "nr_hit_rays" in aux:
+                    hf = float(aux["nr_hit_rays"]) / max(prev_rays, 1)
+                    frac = _hit_frac_bucket(hf, cfg.hit_ray_frac)
+                    if frac != cfg.hit_ray_frac:
+                        cfg = dataclasses.replace(cfg, hit_ray_frac=frac)
+                _precompile_ahead(pre, params, opt_state, grid, reel,
+                                  optimizer, cfg, it)
 
         if it % log_every == 0 or it == nr_iters - 1:
             lv = float(loss)

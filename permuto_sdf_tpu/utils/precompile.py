@@ -1,0 +1,85 @@
+"""Background AOT precompilation of predicted step graphs.
+
+The training loop's compiled-shape set is mostly PREDICTABLE: the c2f
+level-skip schedule is a pure function of the iteration, the dynamic ray
+rebalancer only walks the rung ladder one step at a time, the hit-ray
+compaction fraction only tightens as the grid sparsifies, and the
+table-grad parities of a period all compile eventually. The reference
+has no analog cost at all (its CUDA kernels are precompiled,
+train_permuto_sdf.py step 1 runs at full speed) — on a cold XLA cache
+each new shape used to block the host for 40-80 s, 997 s total over a
+bench warmup (BENCH_r04, VERDICT r4 missing #5).
+
+This module compiles the predicted-next graphs on background threads via
+``jit_fn.lower(...).compile()``. XLA compilation releases the GIL, so
+workers overlap both each other and the main loop's device steps; the
+result executable is dropped — the value is the entry written into the
+persistent compilation cache (``jax_compilation_cache_dir``), which turns
+the main loop's eventual compile of that shape into a fast deserialize.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+
+class StepPrecompiler:
+    """Deduplicating background compiler.
+
+    ``ensure(key, thunk)`` submits ``thunk`` (which should trace+compile a
+    jitted function for one static-shape variant) at most once per key.
+    Failures are recorded, never raised into the main loop.
+    """
+
+    def __init__(self, max_workers: int = 3):
+        self._seen = set()
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(max_workers=max_workers,
+                                        thread_name_prefix="precompile")
+        self._pending = 0
+        self._done = 0
+        self._errors = []
+
+    def ensure(self, key, thunk) -> bool:
+        """Submit ``thunk`` for ``key`` unless already submitted.
+        Returns True if newly submitted."""
+        with self._lock:
+            if key in self._seen:
+                return False
+            self._seen.add(key)
+            self._pending += 1
+        self._pool.submit(self._run, key, thunk)
+        return True
+
+    def _run(self, key, thunk):
+        try:
+            thunk()
+        except Exception as e:  # predicted shape may be invalid — harmless
+            with self._lock:
+                self._errors.append((key, repr(e)[:200]))
+        finally:
+            with self._lock:
+                self._pending -= 1
+                self._done += 1
+
+    def wait_idle(self, timeout: float = 600.0) -> bool:
+        """Block until every submitted compile finished (tests/shutdown)."""
+        import time
+
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            with self._lock:
+                if self._pending == 0:
+                    return True
+            time.sleep(0.05)
+        return False
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"submitted": len(self._seen), "done": self._done,
+                    "pending": self._pending,
+                    "errors": list(self._errors)}
+
+    def shutdown(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)

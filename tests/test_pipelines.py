@@ -580,3 +580,259 @@ def test_batched_render_matches_per_chunk_dispatch(tiny_reel):
     rgb_lref = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
     np.testing.assert_allclose(rgb_lod.reshape(-1, 3), rgb_lref,
                                atol=1e-6, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Hit-ray compaction (r5)
+# ---------------------------------------------------------------------------
+
+def _slab_sparse_grid(cfg_grid):
+    """Occupancy grid where only the x < -0.1 slab is occupied, so rays
+    aimed at +x carry zero valid samples (the real-training miss-ray case
+    the hit-ray compaction exists for)."""
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    import jax.numpy as jnp
+
+    grid = og.make_occupancy_grid(cfg_grid)
+    centers = og.lin_idx_to_voxel_center(cfg_grid,
+                                         jnp.arange(cfg_grid.nr_voxels))
+    return og.OccupancyGridState(values=grid.values,
+                                 occupancy=centers[:, 0] < -0.1)
+
+
+def test_hit_ray_compaction_exact_loss_and_grads(tiny_reel):
+    """With a hit bucket that covers every hit ray, the compacted step's
+    loss AND gradients are bit-identical to the dense path (curvature off:
+    its random tangent draws are shaped by the batch, so the two paths
+    draw different tangents — separately smoke-checked below)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    import jax.numpy as jnp
+
+    base = dict(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+        render_sample_budget=None, curvature_sample_budget=None,
+        enable_curvature=False,
+    )
+    for lod in (None, 8):
+        cfg_dense = t.PermutoSDFTrainConfig(
+            train_lod_top_k=lod, train_lod_rand_extra=2 if lod else 8, **base)
+        cfg_comp = dataclasses.replace(cfg_dense, hit_ray_frac=0.9)
+        # 0.9 * 64 rounded up to 64 => bucket == nr_rays: every hit ray fits
+        assert t._hit_ray_budget(64, 0.9) == 64
+
+        params = t.init_params(jax.random.PRNGKey(0), cfg_dense,
+                               tiny_reel.nr_images)
+        grid = _slab_sparse_grid(cfg_dense.grid)
+        key = jax.random.PRNGKey(7)
+
+        loss_d, aux_d, grads_d = t.compute_loss_and_grads(
+            params, grid, tiny_reel, key, jnp.asarray(50), cfg_dense)
+        loss_c, aux_c, grads_c = t.compute_loss_and_grads(
+            params, grid, tiny_reel, key, jnp.asarray(50), cfg_comp)
+
+        assert int(aux_d["nr_samples"]) == int(aux_c["nr_samples"])
+        assert int(aux_c["nr_samples_rendered"]) == int(aux_c["nr_samples"])
+        np.testing.assert_allclose(float(loss_d), float(loss_c),
+                                   rtol=1e-6, atol=1e-7)
+        for gd, gc in zip(jax.tree_util.tree_leaves(grads_d),
+                          jax.tree_util.tree_leaves(grads_c)):
+            np.testing.assert_allclose(np.asarray(gd), np.asarray(gc),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_hit_ray_compaction_render_outputs_exact(tiny_reel):
+    """run_net per-ray outputs (rgb / normals / weights_sum) match the
+    dense path exactly when the bucket covers the hit rays — including the
+    scattered-back miss-ray fills (rgb 0+bg, weights_sum 0, bg_T 1)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    import jax.numpy as jnp
+
+    base = dict(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+        render_sample_budget=None, curvature_sample_budget=None,
+        train_lod_top_k=8, train_lod_rand_extra=2,
+    )
+    cfg_dense = t.PermutoSDFTrainConfig(**base)
+    cfg_comp = dataclasses.replace(cfg_dense, hit_ray_frac=0.9)
+    params = t.init_params(jax.random.PRNGKey(0), cfg_dense, tiny_reel.nr_images)
+    grid = _slab_sparse_grid(cfg_dense.grid)
+
+    key = jax.random.PRNGKey(2)
+    ang = jnp.linspace(-0.6, 0.6, 64)
+    dirs = jnp.stack([jnp.sin(ang), jnp.zeros(64), jnp.cos(ang)], -1)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (64, 1))
+
+    def render(cfg):
+        return t.run_net(params, grid, key, origins, dirs, None,
+                         jnp.asarray(100), 1.0, 0.8, cfg, jitter=True)
+
+    out_d = render(cfg_dense)
+    out_c = render(cfg_comp)
+    # some rays must actually miss for the test to mean anything
+    nr_hit = int(out_d[4].valid_rays().sum())
+    assert 0 < nr_hit < 64
+    for i, tol in ((0, 1e-6), (1, 1e-5), (3, 1e-6)):
+        np.testing.assert_allclose(np.asarray(out_d[i]), np.asarray(out_c[i]),
+                                   rtol=1e-5, atol=tol)
+
+
+def test_hit_ray_compaction_overflow_and_training(tiny_reel):
+    """A too-small hit bucket drops the trailing hit rays gracefully
+    (finite outputs, rendered <= total), and an e2e train run with the
+    lever + curvature on still reduces its loss."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    import jax.numpy as jnp
+
+    base = dict(
+        capacity=2 ** 10, nr_levels=4, nr_rays=128,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+        train_lod_top_k=8, train_lod_rand_extra=2,
+    )
+    cfg = t.PermutoSDFTrainConfig(hit_ray_frac=0.5, **base)
+    assert t._hit_ray_budget(128, 0.5) == 64
+    params = t.init_params(jax.random.PRNGKey(0), cfg, tiny_reel.nr_images)
+    grid = _slab_sparse_grid(cfg.grid)
+    key = jax.random.PRNGKey(2)
+    # aim EVERY ray at the occupied slab => hits overflow the 64 bucket
+    ang = jnp.linspace(-0.45, -0.2, 128)
+    dirs = jnp.stack([jnp.sin(ang), jnp.zeros(128), jnp.cos(ang)], -1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (128, 1))
+    out = t.run_net(params, grid, key, origins, dirs, None,
+                    jnp.asarray(100), 1.0, 0.8, cfg, jitter=True)
+    comp = out[2]
+    assert int(comp["nr_samples_rendered"]) < int(comp["nr_samples_total"])
+    for o in (out[0], out[1], out[3]):
+        assert np.isfinite(np.asarray(o)).all()
+
+    # e2e: short training with the lever on (curvature path included)
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg_train = dataclasses.replace(
+        cfg, nr_iter_sphere_fit=20, sphere_init_points=512,
+        warmup_iters=10, forced_variance_finish_iter=40,
+        sdf_nr_iters_for_c2f=20, grid_nr_random_samples=512)
+    optimizer = t.make_optimizer(cfg_train)
+    params = t.init_params(jax.random.PRNGKey(0), cfg_train, tiny_reel.nr_images)
+    opt_state = optimizer.init(params)
+    grid = og.make_occupancy_grid(cfg_train.grid)
+    losses = []
+    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0))
+    for it in range(20, 80):
+        k = jax.random.fold_in(jax.random.PRNGKey(5), it)
+        if it % cfg_train.grid_update_every == 0:
+            grid = t.occupancy_update(params, grid, k, jnp.asarray(it - 20),
+                                      last_inv_s, cfg_train)
+        params, opt_state, loss, aux = t.train_step(
+            params, opt_state, grid, tiny_reel, k, jnp.asarray(it),
+            cfg_train, optimizer)
+        last_inv_s = aux["inv_s"]
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_update_cfg_canonicalization(tiny_reel):
+    """_canon_update_cfg strips exactly the fields the update graph cannot
+    depend on: train_step with volatile-field cfg variants must produce the
+    SAME params as calling apply_updates with the full cfg (the canon cfg
+    preserves every lr/weight-decay-relevant field)."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    import jax.numpy as jnp
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+        train_lod_top_k=8, table_grad_alternate=True, table_grad_parity=1,
+        hit_ray_frac=0.5, sdf_active_levels=4, enable_curvature=False,
+        lr=3e-4, warmup_iters=17, lr_milestones=(100, 200),
+        lr_decay_gamma=0.5, nr_iter_sphere_fit=3, iter_start_reduce_curv=50,
+    )
+    canon = t._canon_update_cfg(cfg)
+    # lr/decay-relevant fields preserved
+    for f in ("lr", "warmup_iters", "lr_milestones", "lr_decay_gamma",
+              "nr_iter_sphere_fit", "iter_start_reduce_curv"):
+        assert getattr(canon, f) == getattr(cfg, f), f
+    # volatile fields normalized (graph key stable across host mutations)
+    assert canon.nr_rays == 512 and canon.table_grad_parity is None
+    assert canon.hit_ray_frac is None and canon.sdf_active_levels is None
+    # equal canon cfg (the jit static key hashes on equality) for any
+    # volatile-field mutation
+    assert t._canon_update_cfg(
+        dataclasses.replace(cfg, nr_rays=128, table_grad_parity=0)) == canon
+
+    # the update through the CANON static key is bit-identical to the
+    # update through the full cfg as static key (same program, same math —
+    # only the jit cache key differs)
+    import jax
+    params = t.init_params(jax.random.PRNGKey(0), cfg, tiny_reel.nr_images)
+    optimizer = t.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    grid = og.make_occupancy_grid(cfg.grid)
+    key = jax.random.PRNGKey(3)
+    it = jnp.asarray(60)
+    _, _, grads = t._grads_step(params, grid, tiny_reel, key, it, cfg)
+    p1, _ = t._update_step(params, opt_state, grads, it,
+                           t._canon_update_cfg(cfg), optimizer)
+    p2, _ = t._update_step(params, opt_state, grads, it, cfg, optimizer)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # occupancy canon: same grid update through the canonicalized jit
+    canon_occ = t._canon_occ_cfg(cfg)
+    assert canon_occ.sdf_active_levels == 4  # c2f front KEPT for the probe
+    assert canon_occ.nr_rays == 512 and canon_occ.hit_ray_frac is None
+    g1 = t.occupancy_update(params, grid, key, jnp.asarray(8),
+                            jnp.asarray(20.0), cfg)
+    g2 = t._occupancy_update_impl(params, grid, key, jnp.asarray(8),
+                                  jnp.asarray(20.0), cfg)
+    np.testing.assert_array_equal(np.asarray(g1.occupancy),
+                                  np.asarray(g2.occupancy))
+
+
+def test_precompile_ahead_smoke(tiny_reel):
+    """The background precompiler traces+compiles the predicted graph set
+    without touching the main thread, dedupes keys, and records failures
+    instead of raising."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+    from permuto_sdf_tpu.utils.precompile import StepPrecompiler
+    import jax
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+        train_lod_top_k=8, table_grad_alternate=True,
+        hit_ray_frac=0.5, nr_iter_sphere_fit=10, sdf_nr_iters_for_c2f=40,
+    )
+    params = t.init_params(jax.random.PRNGKey(0), cfg, tiny_reel.nr_images)
+    optimizer = t.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    grid = og.make_occupancy_grid(cfg.grid)
+
+    pre = StepPrecompiler(max_workers=2)
+    t._precompile_ahead(pre, params, opt_state, grid, tiny_reel, optimizer,
+                        cfg, 0)
+    n1 = pre.stats()["submitted"]
+    assert n1 > 0
+    # resubmission is a no-op (dedupe)
+    t._precompile_ahead(pre, params, opt_state, grid, tiny_reel, optimizer,
+                        cfg, 0)
+    assert pre.stats()["submitted"] == n1
+    assert pre.wait_idle(timeout=600)
+    st = pre.stats()
+    assert st["pending"] == 0 and st["errors"] == [], st
+    # a failing thunk is recorded, not raised
+    pre.ensure(("boom",), lambda: 1 / 0)
+    pre.wait_idle(timeout=60)
+    assert pre.stats()["errors"], "error not recorded"
+    pre.shutdown()
