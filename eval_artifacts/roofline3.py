@@ -157,15 +157,15 @@ sb = jnp.stack([
     jax.random.randint(kb[3], (L, N), 0, 4, dtype=jnp.int32),
 ], axis=-1)  # [L, N, 4] block + in-block cell coords
 dn_blk = lax.GatherDimensionNumbers(
-    offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+    offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(0,),
     start_index_map=(0, 1, 2, 3))
 tri_w = jax.random.uniform(jax.random.PRNGKey(7), (L, N, 2, 2, 2, 1))
 
 def f_blk(c, k, tab, sb, tri_w):
-    st = sb.reshape(-1, 4).at[:, 0].add(k).at[:, 0].mul(1) % jnp.asarray(
-        [B, 4, 4, 4], jnp.int32)
+    st = sb.reshape(-1, 4)
+    st = st.at[:, 0].set((st[:, 0] + k) % B)
     g = lax.gather(tab, st, dn_blk, slice_sizes=(1, 2, 2, 2, 2),
-                   mode=lax.GatherScatterMode.CLIP)  # [L*N, 1,2,2,2,2]
+                   mode=lax.GatherScatterMode.CLIP)  # [L*N, 2,2,2,2]
     g = g.reshape(L, N, 2, 2, 2, 2)
     return c + jnp.sum(g * tri_w)
 

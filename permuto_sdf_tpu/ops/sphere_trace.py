@@ -594,6 +594,8 @@ def sphere_trace_adaptive(
     final_refresh: bool = True,
     jump_substeps: int = 1,      # chained empty-space jumps per SDF eval
     prepass_jumps: int = 0,      # jump-only prepass before round 0
+    stats_out: Optional[list] = None,  # appended: per-stage (name, bucket,
+                                       # n_active, n_hit) for floor models
 ):
     """Sphere tracing with HOST-adaptive static-shape compaction.
 
@@ -662,6 +664,8 @@ def sphere_trace_adaptive(
         )
         counts = np.asarray(counts)
         n_active, n_hit = int(counts[0]), int(counts[1])
+        if stats_out is not None:
+            stats_out.append((f"round{rnd}", bucket, n_active, n_hit))
 
     n_alive = n_active + n_hit
     if refine_sdf_eval is not None and n_alive > 0:
@@ -685,6 +689,8 @@ def sphere_trace_adaptive(
         counts = np.asarray(counts)
         n_hit = int(counts[1])
         n_alive = int(counts[0]) + n_hit
+        if stats_out is not None:
+            stats_out.append(("refine", bucket, int(counts[0]), n_hit))
         final_eval, final_ctx = refine_sdf_eval, refine_ctx
     else:
         final_eval, final_ctx = sdf_eval, ctx

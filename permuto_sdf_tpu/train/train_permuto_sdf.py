@@ -197,6 +197,14 @@ class PermutoSDFTrainConfig:
     # encoding sizes (shrink for smoke tests)
     capacity: int = 2 ** 18
     nr_levels: int = 24
+    # Background NeRF++ field level count (None = nr_levels, the
+    # reference's choice — models.py:434-442 reuses the fg encoding
+    # params for bg). The bg field renders far-field low-parallax
+    # content; a smaller bg encoding is a candidate throughput lever in
+    # no-mask training (the bg encode/VJP costs ~57 ms of the 243 ms
+    # 1024-ray step, PERFORMANCE.md finding 30) — only adopted if the
+    # full-image quality A/B (bg_quality protocol) is neutral.
+    bg_nr_levels: int | None = None
     # static graph switches: the reference's Python `if`s become separate
     # compiled variants. enable_curvature should be flipped off by the host
     # once global_weight_curvature reaches 0 (train() does this), exactly
@@ -268,7 +276,9 @@ class PermutoSDFTrainConfig:
     def bg_model(self) -> NerfHashConfig:
         return NerfHashConfig(
             in_channels=4, nr_iters_for_c2f=self.background_nr_iters_for_c2f,
-            capacity=self.capacity, nr_levels=self.nr_levels,
+            capacity=self.capacity,
+            nr_levels=(self.bg_nr_levels if self.bg_nr_levels is not None
+                       else self.nr_levels),
             sorted_scatter=self.sorted_scatter,
             table_row_gather=self.table_row_gather,
             grad_level_parity=self.table_grad_parity,
