@@ -46,11 +46,17 @@ if SMOKE:
                  grid_nr_random_samples=4096, grid_update_max_levels=6,
                  train_lod_top_k=8, sphere_init_points=512)
 
-NWARM = 60 if SMOKE else 700
+# warmup mirrors bench.py's operating-point recipe (300 sphere + 1200
+# train, variance anneal finishing at 600) so the measured state carries
+# the bench's ~2% band occupancy — a 700-iter warmup leaves the grid at
+# ~33% occupied (measured 2026-08-20), which overstates the hit fraction
+# and understates the compaction levers (the r4 period script had the
+# same flaw, ADVICE r4 medium).
+NWARM = 60 if SMOKE else 1500
 cfg = tps.PermutoSDFTrainConfig(
-    nr_iter_sphere_fit=20 if SMOKE else 200,
-    forced_variance_finish_iter=30 if SMOKE else 400,
-    sdf_nr_iters_for_c2f=20 if SMOKE else 300,
+    nr_iter_sphere_fit=20 if SMOKE else 300,
+    forced_variance_finish_iter=30 if SMOKE else 600,
+    sdf_nr_iters_for_c2f=20 if SMOKE else 400,
     iter_finish_training=NWARM,
     warmup_iters=20 if SMOKE else 100,
     **{**levers, **small},
@@ -110,15 +116,17 @@ for nr_rays in ((128,) if SMOKE else (1024, 2048)):
     rows = {}
     c0 = dataclasses.replace(cfg, nr_rays=nr_rays)
     # measured hit statistics at this operating point (10 batches)
-    hits = []
+    hits, hitrays = [], []
     for i in range(10):
         k = jax.random.fold_in(key, i)
         _, aux, _ = tps._grads_step(
             params, grid, reel, k, it,
             dataclasses.replace(c0, table_grad_parity=0))
-        # hit rays = rays with any valid sample; recover from sample counts
         hits.append(float(aux["nr_samples"]))
+        hitrays.append(float(aux["nr_hit_rays"]))
     rows["mean_valid_samples"] = round(float(np.mean(hits)))
+    rows["mean_hit_rays"] = round(float(np.mean(hitrays)), 1)
+    rows["hit_frac"] = round(float(np.mean(hitrays)) / nr_rays, 3)
 
     grads_ladder = {
         "p2": dict(table_grad_period=2),

@@ -1625,17 +1625,26 @@ def _dequantize_frame(rgb_q, normals_q, weights_q):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
 def _shade_hits_compact(params, pos, dirs, lit, iter_nr_anneal,
-                        cfg: PermutoSDFTrainConfig, bucket: int):
+                        cfg: PermutoSDFTrainConfig, bucket: int,
+                        shade_sdf_levels: int | None = None):
     """Like :func:`_shade_hits` but returns the COMPACTED uint8 results +
     hit indices instead of scattered full-frame float buffers: through the
     remote-TPU transport, fetching ~n_hit*10 bytes beats fetching the full
-    float frame by >10x (see _quantize_frame's note)."""
+    float frame by >10x (see _quantize_frame's note).
+
+    ``shade_sdf_levels`` evaluates the shading SDF gradient (normals +
+    geom_feat) on the coarsest K levels only — a candidate ST speed lever
+    (the gradient vjp is the instance-heaviest shading stage); quality
+    must be A/B'd since a trained model's fine features are not zero."""
     R = pos.shape[0]
     (idx,) = jnp.nonzero(lit, size=bucket, fill_value=R)
     sub_pos = _pad_one(pos)[idx]
     sub_dirs = _pad_one(dirs)[idx]
+    sdf_cfg = cfg.sdf_model
+    if shade_sdf_levels is not None:
+        sdf_cfg = dataclasses.replace(sdf_cfg, active_levels=shade_sdf_levels)
     _, grads_end, geom_end = sdf_with_gradient(
-        params["sdf"], sub_pos, iter_nr_anneal, cfg.sdf_model
+        params["sdf"], sub_pos, iter_nr_anneal, sdf_cfg
     )
     sub_rgb = rgb_apply(params["rgb"], sub_pos, sub_dirs, grads_end, geom_end,
                         iter_nr_anneal, cfg.rgb_model)
@@ -1787,7 +1796,8 @@ def render_image_sphere_traced_fast(
         iters_per_round: int = 3, nr_refine_iters: int = 4,
         sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
         dist_field=None, mesh=None, lod_schedule: tuple | None = None,
-        jump_substeps: int = 4, prepass_jumps: int = 16):
+        jump_substeps: int = 4, prepass_jumps: int = 16,
+        shade_sdf_levels: int | None = None):
     """The interactive rendering fast path (reference: "render at
     interactive speeds" via sphere tracing, README.md:19 +
     run_net_sphere_traced, train_permuto_sdf.py:211-242).
@@ -1863,7 +1873,8 @@ def render_image_sphere_traced_fast(
         # so it sizes the shading bucket without another device round-trip
         bucket = pow2_bucket(max(n_alive, 1), lo=256, hi=max(256, chunk))
         idx, rgb_u8, nrm_u8, lit = _shade_hits_compact(
-            params, pos, d, lit, it, cfg, bucket)
+            params, pos, d, lit, it, cfg, bucket,
+            shade_sdf_levels=shade_sdf_levels)
         # host-side frame reconstruction from the compacted transfer
         R = o.shape[0]
         idx_np = np.asarray(idx)
