@@ -92,7 +92,11 @@ def step_ms(c):
     the alternation parities of c.table_grad_period."""
     ms = []
     for parity in range(c.table_grad_period if c.table_grad_alternate else 1):
-        cp = dataclasses.replace(c, table_grad_parity=parity)
+        # parity must stay None when alternation is off — a leaked 0 would
+        # silently measure the half-level parity-0 graph (the 2026-08-20
+        # run's "p1" row has exactly this bug; ignore it there)
+        cp = dataclasses.replace(
+            c, table_grad_parity=parity if c.table_grad_alternate else None)
 
         def one(cp=cp):
             _, aux, grads = tps._grads_step(params, grid, reel, key, it, cp)

@@ -178,6 +178,17 @@ class PermutoSDFTrainConfig:
     # reference's buffer-overflow ray skip (VolumeRenderingGPU.cuh:103).
     # None disables (reference dense behavior).
     hit_ray_frac: float | None = None
+    # Compaction point. True (default): compact right after the uniform
+    # occupancy sampler, so the importance-sampling stage (per-ray CDF
+    # build/inversion, z-merge, proxy-eval bookkeeping) also runs on the
+    # hit sub-batch — the hit set is identical either way (importance
+    # sampling cannot add samples to an empty ray). The importance
+    # jitter's RNG is then drawn at the compacted shape, so outputs match
+    # the dense path bit-for-bit only with jitter off (tested); with
+    # jitter on the draws differ in realization, not distribution.
+    # False: compact after sampling (bitwise-exact vs dense incl. jitter;
+    # the r5 quality A/B arm measured this variant).
+    hit_ray_compact_early: bool = True
     # SDF proxy level count for occupancy updates. The occupancy test
     # thresholds the NeuS logistic density of max(|sdf| - 1.3*half_diag, 0):
     # at 256^3 the half-diagonal is 3.4e-3 while levels >= 17 have scales
@@ -355,6 +366,12 @@ def _apply_weight_decay(params, lr_now, iter_nr, cfg: PermutoSDFTrainConfig):
 
 def _create_fg_samples(params, grid, key, origins, dirs, t_entry, t_exit,
                        iter_nr_anneal, cfg: PermutoSDFTrainConfig, jitter: bool):
+    """Uniform occupancy sampling + importance sampling. Returns
+    (samples, ray_idx, ray_valid, pre): with early hit-ray compaction
+    (cfg.hit_ray_compact_early) ray_idx/ray_valid map the compacted ray
+    batch back to the full one and ``pre`` carries the PRE-compaction
+    counts (total hit rays, total valid uniform samples) the rebalancer
+    estimate needs; otherwise ray_idx is None."""
     k_uni, k_imp = jax.random.split(key)
     if cfg.use_occupancy_grid and grid is not None:
         samples = og.compute_samples_in_occupied_regions(
@@ -367,6 +384,17 @@ def _create_fg_samples(params, grid, key, origins, dirs, t_entry, t_exit,
             origins, dirs, t_entry, t_exit, cfg.min_dist_between_samples,
             cfg.max_nr_samples_per_ray, key=k_uni, jitter=jitter,
         )
+    ray_idx = ray_valid = None
+    pre = {}
+    if (cfg.hit_ray_frac is not None and cfg.hit_ray_frac < 1.0
+            and cfg.hit_ray_compact_early):
+        R0 = samples.mask.shape[0]
+        hit = samples.valid_rays()
+        pre["nr_hit_rays"] = jnp.sum(hit)
+        ray_idx, ray_valid = _compact_idx(hit,
+                                          _hit_ray_budget(R0, cfg.hit_ray_frac))
+        samples = _take_rays(samples, ray_idx, ray_valid)
+        t_exit = _pad_one(t_exit)[ray_idx]
     if cfg.do_importance_sampling:
         budget = cfg.render_sample_budget
 
@@ -381,7 +409,8 @@ def _create_fg_samples(params, grid, key, origins, dirs, t_entry, t_exit,
             jitter=jitter, masked=True,
             carry_sdf=cfg.train_lod_top_k is not None,
         )
-    return jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
+    samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
+    return samples, ray_idx, ray_valid, pre
 
 
 def _compact_idx(flat_mask, budget: int):
@@ -456,21 +485,31 @@ def run_net(params, grid, key, origins, dirs, img_indices, iter_nr_anneal,
     grads [B,3], valid [B])."""
     _, t_entry, _, t_exit, does_intersect = BOUND.ray_intersection(origins, dirs)
     k_samp, k_bg, k_sel = jax.random.split(key, 3)
-    samples = _create_fg_samples(params, grid, k_samp, origins, dirs, t_entry,
-                                 t_exit, iter_nr_anneal, cfg, jitter)
-    R0 = samples.mask.shape[0]
-    nr_samples_total = jnp.sum(samples.mask)
-    nr_hit_rays = jnp.sum(samples.valid_rays())
-    ray_idx = ray_valid = None
+    samples, ray_idx, ray_valid, pre = _create_fg_samples(
+        params, grid, k_samp, origins, dirs, t_entry, t_exit,
+        iter_nr_anneal, cfg, jitter)
+    R0 = origins.shape[0]
     img_indices_fg = img_indices
-    if cfg.hit_ray_frac is not None and cfg.hit_ray_frac < 1.0:
-        # hit-ray compaction (see the cfg field's docstring): the entire
-        # fg field-evaluation below runs on the hit-ray sub-batch only
-        ray_idx, ray_valid = _compact_idx(samples.valid_rays(),
-                                          _hit_ray_budget(R0, cfg.hit_ray_frac))
-        samples = _take_rays(samples, ray_idx, ray_valid)
-        if img_indices is not None:
-            img_indices_fg = _pad_one(img_indices, 0)[ray_idx]
+    if ray_idx is not None:
+        # EARLY hit-ray compaction happened inside _create_fg_samples:
+        # estimate the full-batch valid count for the rebalancer by
+        # scaling the kept rays' count up by the (rare) overflow ratio
+        kept_hits = jnp.maximum(jnp.sum(ray_valid), 1)
+        scale = pre["nr_hit_rays"].astype(jnp.float32) / kept_hits
+        nr_samples_total = (jnp.sum(samples.mask) * scale).astype(jnp.int32)
+        nr_hit_rays = pre["nr_hit_rays"]
+    else:
+        nr_samples_total = jnp.sum(samples.mask)
+        nr_hit_rays = jnp.sum(samples.valid_rays())
+        if cfg.hit_ray_frac is not None and cfg.hit_ray_frac < 1.0:
+            # LATE compaction (hit_ray_compact_early=False): bitwise-exact
+            # vs the dense path; the fg field evaluation below runs on
+            # the hit-ray sub-batch only
+            ray_idx, ray_valid = _compact_idx(
+                samples.valid_rays(), _hit_ray_budget(R0, cfg.hit_ray_frac))
+            samples = _take_rays(samples, ray_idx, ray_valid)
+    if ray_idx is not None and img_indices is not None:
+        img_indices_fg = _pad_one(img_indices, 0)[ray_idx]
     R, S = samples.mask.shape
     M = R * S
     budget = min(M, cfg.render_sample_budget) if cfg.render_sample_budget else M

@@ -167,6 +167,19 @@ def main():
     results["step ms"] = round(timeit(step, key, n=N), 1)
     print(f"lever step: {results['step ms']} ms", flush=True)
 
+    # early-vs-late compaction point (the perf_hitcomp_r5 ladder measured
+    # LATE; early additionally runs the importance stage's per-ray chains
+    # on the hit sub-batch), at 1024 and 2048 rays
+    for nr in ((128,) if smoke else (1024, 2048)):
+        for mode, early in (("late", False), ("early", True)):
+            c = dataclasses.replace(base, nr_rays=nr,
+                                    hit_ray_compact_early=early)
+            ms = round(timeit(
+                lambda k, c=c: tps._grads_step(params, ck_grid, reel, k, it,
+                                               c)[0], key, n=N), 1)
+            results[f"step ms {mode} @{nr}"] = ms
+            print(f"step {mode} @{nr}: {ms} ms", flush=True)
+
     # ---- device trace of the r5 lever step ----
     os.makedirs(TRACE_DIR, exist_ok=True)
     N_TRACE = 2 if smoke else 10

@@ -618,7 +618,10 @@ def test_hit_ray_compaction_exact_loss_and_grads(tiny_reel):
     for lod in (None, 8):
         cfg_dense = t.PermutoSDFTrainConfig(
             train_lod_top_k=lod, train_lod_rand_extra=2 if lod else 8, **base)
-        cfg_comp = dataclasses.replace(cfg_dense, hit_ray_frac=0.9)
+        # late mode: bitwise-exact incl. jitter (early mode draws the
+        # importance jitter at the compacted shape -> separate test below)
+        cfg_comp = dataclasses.replace(cfg_dense, hit_ray_frac=0.9,
+                                       hit_ray_compact_early=False)
         # 0.9 * 64 rounded up to 64 => bucket == nr_rays: every hit ray fits
         assert t._hit_ray_budget(64, 0.9) == 64
 
@@ -657,7 +660,8 @@ def test_hit_ray_compaction_render_outputs_exact(tiny_reel):
         train_lod_top_k=8, train_lod_rand_extra=2,
     )
     cfg_dense = t.PermutoSDFTrainConfig(**base)
-    cfg_comp = dataclasses.replace(cfg_dense, hit_ray_frac=0.9)
+    cfg_comp = dataclasses.replace(cfg_dense, hit_ray_frac=0.9,
+                                   hit_ray_compact_early=False)
     params = t.init_params(jax.random.PRNGKey(0), cfg_dense, tiny_reel.nr_images)
     grid = _slab_sparse_grid(cfg_dense.grid)
 
@@ -836,3 +840,75 @@ def test_precompile_ahead_smoke(tiny_reel):
     pre.wait_idle(timeout=60)
     assert pre.stats()["errors"], "error not recorded"
     pre.shutdown()
+
+
+def test_hit_ray_compaction_early_exactness_and_training(tiny_reel):
+    """EARLY compaction (default: compact before the importance stage):
+    with jitter OFF the sampling pipeline is deterministic and permutation-
+    safe, so run_net per-ray outputs must match the dense path exactly;
+    with jitter on only the importance-jitter realization differs. Also
+    e2e: a short training run with the early lever reduces its loss."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+    import jax.numpy as jnp
+
+    base = dict(
+        capacity=2 ** 10, nr_levels=4, nr_rays=64,
+        grid_nr_voxels_per_dim=16, max_nr_samples_per_ray=16,
+        nr_samples_imp_sampling=4, nr_samples_bg=4,
+        render_sample_budget=None, curvature_sample_budget=None,
+        train_lod_top_k=8, train_lod_rand_extra=2,
+    )
+    cfg_dense = t.PermutoSDFTrainConfig(**base)
+    cfg_early = dataclasses.replace(cfg_dense, hit_ray_frac=0.9)
+    assert cfg_early.hit_ray_compact_early  # the default
+    params = t.init_params(jax.random.PRNGKey(0), cfg_dense, tiny_reel.nr_images)
+    grid = _slab_sparse_grid(cfg_dense.grid)
+
+    key = jax.random.PRNGKey(2)
+    ang = jnp.linspace(-0.6, 0.6, 64)
+    dirs = jnp.stack([jnp.sin(ang), jnp.zeros(64), jnp.cos(ang)], -1)
+    origins = jnp.tile(jnp.asarray([[0.0, 0.0, -1.2]]), (64, 1))
+
+    def render(cfg, jitter):
+        return t.run_net(params, grid, key, origins, dirs, None,
+                         jnp.asarray(100), 1.0, 0.8, cfg, jitter=jitter)
+
+    out_d = render(cfg_dense, False)
+    out_e = render(cfg_early, False)
+    nr_hit = int(out_d[4].valid_rays().sum())
+    assert 0 < nr_hit < 64
+    for i, tol in ((0, 1e-6), (1, 1e-5), (3, 1e-6)):
+        np.testing.assert_allclose(np.asarray(out_d[i]), np.asarray(out_e[i]),
+                                   rtol=1e-5, atol=tol)
+    # jittered: same shapes, finite, same hit set (realization may differ)
+    out_ej = render(cfg_early, True)
+    for o in (out_ej[0], out_ej[1], out_ej[3]):
+        assert np.isfinite(np.asarray(o)).all()
+
+    # e2e training with the early lever (the shipping default)
+    from permuto_sdf_tpu.ops import occupancy_grid as og
+
+    cfg_train = dataclasses.replace(
+        cfg_early, nr_iter_sphere_fit=20, sphere_init_points=512,
+        warmup_iters=10, forced_variance_finish_iter=40,
+        sdf_nr_iters_for_c2f=20, grid_nr_random_samples=512,
+        curvature_sample_budget=512, render_sample_budget=512,
+        hit_ray_frac=0.5)
+    optimizer = t.make_optimizer(cfg_train)
+    params = t.init_params(jax.random.PRNGKey(0), cfg_train, tiny_reel.nr_images)
+    opt_state = optimizer.init(params)
+    grid = og.make_occupancy_grid(cfg_train.grid)
+    losses = []
+    last_inv_s = jnp.asarray(jnp.exp(0.3 * 10.0), jnp.float32)
+    for it in range(20, 80):
+        k = jax.random.fold_in(jax.random.PRNGKey(5), it)
+        if it % cfg_train.grid_update_every == 0:
+            grid = t.occupancy_update(params, grid, k, it - 20,
+                                      last_inv_s, cfg_train)
+        params, opt_state, loss, aux = t.train_step(
+            params, opt_state, grid, tiny_reel, k, jnp.asarray(it),
+            cfg_train, optimizer)
+        last_inv_s = aux["inv_s"]
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
