@@ -20,7 +20,7 @@ timeout 7200 python -u eval_artifacts/st_floor_model_r5.py >> $LOG 2>&1
 echo "floor_rc=$? $(date)" >> $LOG
 
 echo "=== mask_quality_run_r5 (12k flagship refresh) $(date)" >> $LOG
-MASK_PERIOD=${MASK_PERIOD:-3} timeout 10800 \
+MASK_PERIOD=${MASK_PERIOD:-2} timeout 10800 \
   python -u eval_artifacts/mask_quality_run_r5.py >> $LOG 2>&1
 echo "mask_rc=$? $(date)" >> $LOG
 
