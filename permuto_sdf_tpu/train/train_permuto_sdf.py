@@ -1043,9 +1043,13 @@ def _lod_coarse_select(params, grid, origins, dirs, iter_nr_anneal,
     programs (the DP path must never compile the fused graph — a compiler
     SIGILL kills the process and cannot be caught)."""
     _, t_entry, _, t_exit, _ = BOUND.ray_intersection(origins, dirs)
-    samples = _create_fg_samples(params, grid, jax.random.PRNGKey(0), origins,
-                                 dirs, t_entry, t_exit, iter_nr_anneal, cfg,
-                                 jitter=False)
+    # eval contract: never drop rays (defensive strip — render_image
+    # strips too, but this stage is also reachable directly)
+    if cfg.hit_ray_frac is not None:
+        cfg = dataclasses.replace(cfg, hit_ray_frac=None)
+    samples, _, _, _ = _create_fg_samples(
+        params, grid, jax.random.PRNGKey(0), origins, dirs, t_entry, t_exit,
+        iter_nr_anneal, cfg, jitter=False)
     R, S = samples.mask.shape
     pos = samples.flat_positions()
     K = min(top_k, S)
