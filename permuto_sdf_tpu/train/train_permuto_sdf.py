@@ -189,6 +189,15 @@ class PermutoSDFTrainConfig:
     # False: compact after sampling (bitwise-exact vs dense incl. jitter;
     # the r5 quality A/B arm measured this variant).
     hit_ray_compact_early: bool = True
+    # Iteration (post-sphere-init) before which train() strips the
+    # APPROXIMATING throughput levers (train-LOD, table-grad alternation)
+    # and runs the exact step. Rationale: in no-mask training the fg/bg
+    # separation forms during the cos/variance anneal, and the LOD's
+    # mixed transmittance chain can bias that race (with_mask is immune —
+    # the mask BCE pins weights_sum). Hit-ray compaction is exactness-
+    # guarded and stays on throughout. The bench measures the post-anneal
+    # steady state, so gating the levers changes warmup cost only.
+    lever_start_iter: int = 0
     # SDF proxy level count for occupancy updates. The occupancy test
     # thresholds the NeuS logistic density of max(|sdf| - 1.3*half_diag, 0):
     # at 256^3 the half-diagonal is 3.4e-3 while levels >= 17 have scales
@@ -1666,7 +1675,8 @@ def _dequantize_frame(rgb_q, normals_q, weights_q):
     return rgb, normals, weights
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "bucket", "shade_sdf_levels"))
 def _shade_hits_compact(params, pos, dirs, lit, iter_nr_anneal,
                         cfg: PermutoSDFTrainConfig, bucket: int,
                         shade_sdf_levels: int | None = None):
@@ -1986,7 +1996,7 @@ def _c2f_active_levels(it_anneal: int, cfg: PermutoSDFTrainConfig):
 
 
 def _precompile_ahead(pre, params, opt_state, grid, reel, optimizer, cfg,
-                      it: int):
+                      it: int, extra_cfgs=()):
     """Predict the step graphs the loop is likely to need next and submit
     them for background AOT compilation (utils/precompile.py — the graphs
     land in the persistent compilation cache, turning the main loop's
@@ -2026,6 +2036,7 @@ def _precompile_ahead(pre, params, opt_state, grid, reel, optimizer, cfg,
     if (cfg.enable_curvature
             and it_anneal + 300 >= cfg.iter_finish_reduce_curv):
         cands.append(dataclasses.replace(cfg, enable_curvature=False))
+    cands.extend(extra_cfgs)
 
     for c in cands:
         parities = (tuple(range(c.table_grad_period))
@@ -2171,6 +2182,18 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
         opt_state = optimizer.init(params)
         grid = og.make_occupancy_grid(cfg.grid) if cfg.use_occupancy_grid else None
 
+    # lever gating (cfg.lever_start_iter): the approximating levers are
+    # stripped for the formation phase and restored at the gate (one
+    # re-jit each way, predicted by the precompiler)
+    gated_levers = None
+    if (cfg.lever_start_iter
+            and start_iter - cfg.nr_iter_sphere_fit < cfg.lever_start_iter
+            and (cfg.train_lod_top_k is not None or cfg.table_grad_alternate)):
+        gated_levers = dict(train_lod_top_k=cfg.train_lod_top_k,
+                            table_grad_alternate=cfg.table_grad_alternate)
+        cfg = dataclasses.replace(cfg, train_lod_top_k=None,
+                                  table_grad_alternate=False)
+
     pre = None
     if precompile_ahead and not data_parallel:
         from permuto_sdf_tpu.utils.precompile import StepPrecompiler
@@ -2195,6 +2218,9 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
             aux = {}
         else:
             it_anneal = it - cfg.nr_iter_sphere_fit
+            if gated_levers is not None and it_anneal >= cfg.lever_start_iter:
+                cfg = dataclasses.replace(cfg, **gated_levers)
+                gated_levers = None
             if cfg.enable_curvature and it_anneal >= cfg.iter_finish_reduce_curv:
                 # curvature weight annealed to 0 — drop the double-backprop
                 # term from the compiled graph (one re-jit), like the
@@ -2251,8 +2277,10 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
                     frac = _hit_frac_bucket(hf, cfg.hit_ray_frac)
                     if frac != cfg.hit_ray_frac:
                         cfg = dataclasses.replace(cfg, hit_ray_frac=frac)
+                extra = (() if gated_levers is None else
+                         (dataclasses.replace(cfg, **gated_levers),))
                 _precompile_ahead(pre, params, opt_state, grid, reel,
-                                  optimizer, cfg, it)
+                                  optimizer, cfg, it, extra_cfgs=extra)
 
         if it % log_every == 0 or it == nr_iters - 1:
             lv = float(loss)
