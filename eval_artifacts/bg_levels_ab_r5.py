@@ -29,6 +29,11 @@ from permuto_sdf_tpu.datasets.synthetic import make_synthetic_reel
 OUT = "/root/repo/eval_artifacts"
 SMOKE = bool(os.environ.get("BGAB_SMOKE"))
 NR = int(os.environ.get("BGAB_ITERS", "150" if SMOKE else "3000"))
+# shipping-profile knobs (the 2026-08-20 first run used period 3 — later
+# REJECTED on quality — and its baseline arm collapsed; the redo runs
+# period 2 and, if the no-mask bisect adopted it, the lever-start gate)
+PERIOD = int(os.environ.get("BGAB_PERIOD", "2"))
+GATE = float(os.environ.get("BGAB_GATE", "0"))  # fraction of NR; 0 = off
 OUT_JSON = os.path.join(
     OUT, "bg_levels_ab_r5_smoke.json" if SMOKE else "bg_levels_ab_r5.json")
 
@@ -41,7 +46,8 @@ base = dict(
     iter_finish_training=NR,
     sdf_nr_iters_for_c2f=int(NR * 0.375),
     with_mask=False, table_grad_alternate=True, train_lod_top_k=24,
-    train_lod_rand_extra=8, table_grad_period=3, hit_ray_frac=1.0,
+    train_lod_rand_extra=8, table_grad_period=PERIOD, hit_ray_frac=1.0,
+    lever_start_iter=int(NR * GATE),
 )
 if SMOKE:
     base.update(capacity=2 ** 12, nr_levels=8, nr_rays=128,
@@ -56,7 +62,8 @@ reel = make_synthetic_reel(nr_views=24, width=W, height=W, bg_mode="textured")
 test = make_synthetic_reel(nr_views=2, width=W, height=W, radius=1.25,
                            fov_deg=33.0, bg_mode="textured")
 
-out = {"smoke": SMOKE, "iters": NR, "per_variant": {}}
+out = {"smoke": SMOKE, "iters": NR, "period": PERIOD, "gate_frac": GATE,
+       "per_variant": {}}
 
 
 def psnr(a, b):
