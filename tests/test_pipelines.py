@@ -912,3 +912,45 @@ def test_hit_ray_compaction_early_exactness_and_training(tiny_reel):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_lever_start_iter_gate(tiny_reel):
+    """lever_start_iter strips the approximating levers (train-LOD,
+    table-grad alternation) until the gate, then restores them: the
+    pre-gate graphs must match a no-lever config's cfg-keying, training
+    must run through the gate re-jit, and resume past the gate must not
+    re-strip."""
+    from permuto_sdf_tpu.train import train_permuto_sdf as t
+
+    cfg = t.PermutoSDFTrainConfig(
+        capacity=2 ** 10, nr_levels=4, nr_rays=32, nr_iter_sphere_fit=10,
+        sphere_init_points=512, grid_nr_voxels_per_dim=16,
+        grid_nr_random_samples=512, max_nr_samples_per_ray=8,
+        nr_samples_imp_sampling=4, nr_samples_bg=4, warmup_iters=10,
+        sdf_nr_iters_for_c2f=20, forced_variance_finish_iter=30,
+        train_lod_top_k=4, train_lod_rand_extra=2,
+        table_grad_alternate=True, table_grad_period=2,
+        lever_start_iter=30,
+    )
+    params, grid, hist = t.train(tiny_reel, cfg, nr_iters=60, log_every=20)
+    post = [h for h in hist if h[0] >= cfg.nr_iter_sphere_fit and h[2] is not None]
+    assert len(post) >= 2
+    assert all(np.isfinite(h[1]) for h in post)
+    # resuming past the gate keeps the levers on (no re-strip)
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    optimizer = t.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    t._save(d, "exp", 60, params, grid, opt_state=opt_state, cfg=cfg,
+            last_inv_s=jnp_last_inv_s(), final_iter=60)
+    params2, grid2, hist2 = t.train(
+        tiny_reel, cfg, nr_iters=70,
+        resume_from=os.path.join(d, "exp", "60", "models"))
+    assert all(np.isfinite(h[1]) for h in hist2 if h[1] is not None)
+
+
+def jnp_last_inv_s():
+    import jax.numpy as jnp
+
+    return jnp.asarray(jnp.exp(0.3 * 10.0), jnp.float32)
