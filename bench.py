@@ -159,8 +159,24 @@ def main():
     from permuto_sdf_tpu.utils.precompile import StepPrecompiler
 
     pre = StepPrecompiler()
+    # seed the workers with the PREDICTED TERMINAL operating point as
+    # well as the first graphs: the settled bench point is known up
+    # front (fully-open c2f front; ray bucket near the 49k-valid-sample
+    # budget; hit-frac rung near the measured DTU-occupancy hit
+    # fraction), and its 2048-ray graphs are the slowest compiles
+    # (40-100 s each, BENCH r5 preview iters 1026-1301). Submitting
+    # them at t=0 gives the 3 workers the whole warmup to finish, so
+    # the rebalancer's arrival at the terminal rungs deserializes from
+    # the persistent cache instead of blocking the loop.
+    act_term = tps._c2f_active_levels(10 ** 9, cfg)
+    terminals = []
+    for R in (1536, 2048):
+        for F in ((0.5, 0.625) if cfg.hit_ray_frac is not None else (None,)):
+            terminals.append(dataclasses.replace(
+                cfg, nr_rays=R, hit_ray_frac=F,
+                sdf_active_levels=act_term))
     tps._precompile_ahead(pre, params, opt_state, grid, reel, optimizer,
-                          cfg, 0)
+                          cfg, 0, extra_cfgs=tuple(terminals))
 
     compile_events = []  # (iter, seconds) for slow (compiling) dispatches
 

@@ -2033,6 +2033,15 @@ def _precompile_ahead(pre, params, opt_state, grid, reel, optimizer, cfg,
         below = [f for f in _HIT_FRAC_LADDER if f < cfg.hit_ray_frac]
         if below:
             cands.append(dataclasses.replace(cfg, hit_ray_frac=below[-1]))
+            if nxt != cfg.nr_rays:
+                # cross rung: when the sparsifying grid moves BOTH
+                # ladders in close succession (bucket up, then frac
+                # down at the new bucket), the one-rung-per-dimension
+                # prediction misses the combined graph — exactly the
+                # 40-100 s main-loop stalls at BENCH r5 preview iters
+                # 1026-1301
+                cands.append(dataclasses.replace(
+                    cfg, nr_rays=nxt, hit_ray_frac=below[-1]))
     if (cfg.enable_curvature
             and it_anneal + 300 >= cfg.iter_finish_reduce_curv):
         cands.append(dataclasses.replace(cfg, enable_curvature=False))
@@ -2092,8 +2101,14 @@ def _hit_frac_bucket(hit_frac: float, current: float) -> float:
     up = next((f for f in _HIT_FRAC_LADDER if f >= want), 1.0)
     if up > current:
         return up
+    # down-move margin 1.45: just above the 1.3 up-trigger so a move
+    # down can't bounce straight back, but low enough that the ladder
+    # actually REACHES the right rung (the old 1.8 margin left the
+    # bench settled one rung high: hit frac 0.311 could never descend
+    # past 0.625 even though 0.5 carries 1.6x headroom — BENCH r5
+    # preview, settled_hit_ray_frac 0.625)
     down = next((f for f in _HIT_FRAC_LADDER
-                 if f >= min(1.0, hit_frac * 1.8)), 1.0)
+                 if f >= min(1.0, hit_frac * 1.45)), 1.0)
     return down if down < current else current
 
 
