@@ -177,8 +177,12 @@ def main():
             terminals.append(dataclasses.replace(
                 cfg, nr_rays=R, hit_ray_frac=F,
                 sdf_active_levels=act_term))
+    # pre-gate phase runs the EXACT step (levers stripped); its first
+    # graphs are what the loop needs right after sphere init
+    cfg_exact = dataclasses.replace(cfg, train_lod_top_k=None,
+                                    table_grad_alternate=False)
     tps._precompile_ahead(pre, params, opt_state, grid, reel, optimizer,
-                          cfg, 0, extra_cfgs=tuple(terminals))
+                          cfg_exact, 0, extra_cfgs=tuple(terminals))
 
     compile_events = []  # (iter, seconds) for slow (compiling) dispatches
 
@@ -193,11 +197,17 @@ def main():
         if it % cfg.grid_update_every == 0:
             grid = tps.occupancy_update(params, grid, k_grid,
                                         jnp.asarray(it_anneal), last_inv_s, cfg)
-        # per-step static switches, exactly as train() drives them
+        # per-step static switches, exactly as train() drives them —
+        # including the no-mask lever-start gate (levers exact through
+        # the cos/variance anneal, nomask_bisect_r5.json; the measured
+        # windows sit far past the gate either way)
         step_cfg = cfg
-        if cfg.table_grad_alternate:
+        if it_anneal < cfg.forced_variance_finish_iter:
             step_cfg = dataclasses.replace(
-                cfg, table_grad_parity=it % cfg.table_grad_period)
+                step_cfg, train_lod_top_k=None, table_grad_alternate=False)
+        if step_cfg.table_grad_alternate:
+            step_cfg = dataclasses.replace(
+                step_cfg, table_grad_parity=it % cfg.table_grad_period)
         params, opt_state, loss, aux = tps.train_step(
             params, opt_state, grid, reel, k_step, jnp.asarray(it), step_cfg,
             optimizer
@@ -247,8 +257,18 @@ def main():
                 frac = tps._hit_frac_bucket(hf, cfg.hit_ray_frac)
                 if frac != cfg.hit_ray_frac:
                     cfg = dataclasses.replace(cfg, hit_ray_frac=frac)
+            # predict for the phase the loop is IN (exact pre-gate,
+            # levers post-gate), plus the lever graphs as the gate nears
+            it_ann = it - cfg.nr_iter_sphere_fit
+            if it_ann < cfg.forced_variance_finish_iter:
+                base = dataclasses.replace(cfg, train_lod_top_k=None,
+                                           table_grad_alternate=False)
+                extra = ((cfg,) if cfg.forced_variance_finish_iter
+                         - it_ann <= 200 else ())
+            else:
+                base, extra = cfg, ()
             tps._precompile_ahead(pre, params, opt_state, grid, reel,
-                                  optimizer, cfg, it)
+                                  optimizer, base, it, extra_cfgs=extra)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     warm_s = time.perf_counter() - t0
 

@@ -31,9 +31,11 @@ SMOKE = bool(os.environ.get("BGAB_SMOKE"))
 NR = int(os.environ.get("BGAB_ITERS", "150" if SMOKE else "3000"))
 # shipping-profile knobs (the 2026-08-20 first run used period 3 — later
 # REJECTED on quality — and its baseline arm collapsed; the redo runs
-# period 2 and, if the no-mask bisect adopted it, the lever-start gate)
+# period 2 and the shipping lever-start gate: "auto" = the dataclass
+# default (gate at forced_variance_finish_iter for no-mask), "0" = levers
+# from iter 0 (the collapsed first-run behavior), else a fraction of NR)
 PERIOD = int(os.environ.get("BGAB_PERIOD", "2"))
-GATE = float(os.environ.get("BGAB_GATE", "0"))  # fraction of NR; 0 = off
+GATE = os.environ.get("BGAB_GATE", "auto")
 OUT_JSON = os.path.join(
     OUT, "bg_levels_ab_r5_smoke.json" if SMOKE else "bg_levels_ab_r5.json")
 
@@ -47,7 +49,8 @@ base = dict(
     sdf_nr_iters_for_c2f=int(NR * 0.375),
     with_mask=False, table_grad_alternate=True, train_lod_top_k=24,
     train_lod_rand_extra=8, table_grad_period=PERIOD, hit_ray_frac=1.0,
-    lever_start_iter=int(NR * GATE),
+    **({} if GATE == "auto" else
+       {"lever_start_iter": int(NR * float(GATE))}),
 )
 if SMOKE:
     base.update(capacity=2 ** 12, nr_levels=8, nr_rays=128,

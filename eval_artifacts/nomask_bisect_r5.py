@@ -49,8 +49,11 @@ LOD = dict(train_lod_top_k=8 if SMOKE else 24, train_lod_rand_extra=8,
            table_grad_alternate=True, table_grad_period=2)
 variants = {
     "none": {},
-    "lod_p2": LOD,
-    "lod_p2_hc": dict(LOD, hit_ray_frac=1.0),
+    # lever_start_iter pinned to 0: these arms measure levers-from-iter-0
+    # (the pre-gate shipping behavior; the dataclass default is now AUTO,
+    # which would silently gate them)
+    "lod_p2": dict(LOD, lever_start_iter=0),
+    "lod_p2_hc": dict(LOD, hit_ray_frac=1.0, lever_start_iter=0),
     # the candidate fix: exact step during the fg/bg formation phase
     # (through the cos/variance anneal), levers after
     "lod_p2_hc_gate": dict(LOD, hit_ray_frac=1.0,

@@ -193,11 +193,17 @@ class PermutoSDFTrainConfig:
     # APPROXIMATING throughput levers (train-LOD, table-grad alternation)
     # and runs the exact step. Rationale: in no-mask training the fg/bg
     # separation forms during the cos/variance anneal, and the LOD's
-    # mixed transmittance chain can bias that race (with_mask is immune —
-    # the mask BCE pins weights_sum). Hit-ray compaction is exactness-
-    # guarded and stays on throughout. The bench measures the post-anneal
-    # steady state, so gating the levers changes warmup cost only.
-    lever_start_iter: int = 0
+    # mixed transmittance chain biases that race hard — the r5 bisect
+    # (eval_artifacts/nomask_bisect_r5.json) measured 6.9 dB fg with the
+    # levers on from iter 0 vs 24.8 dB without, while with_mask is
+    # immune (the mask BCE pins weights_sum; 12k flagship validation in
+    # mask_quality_run_r5.json). Hit-ray compaction is exactness-guarded
+    # and stays on throughout. None = AUTO: 0 (levers always on) when
+    # with_mask, ``forced_variance_finish_iter`` (levers on once the
+    # cos/variance anneal — the formation phase — ends) when no-mask.
+    # The bench measures the post-anneal steady state, so the gate
+    # changes warmup cost only.
+    lever_start_iter: int | None = None
     # SDF proxy level count for occupancy updates. The occupancy test
     # thresholds the NeuS logistic density of max(|sdf| - 1.3*half_diag, 0):
     # at 256^3 the half-diagonal is 3.4e-3 while levels >= 17 have scales
@@ -2199,7 +2205,13 @@ def train(reel: TensorReel, cfg: PermutoSDFTrainConfig,
 
     # lever gating (cfg.lever_start_iter): the approximating levers are
     # stripped for the formation phase and restored at the gate (one
-    # re-jit each way, predicted by the precompiler)
+    # re-jit each way, predicted by the precompiler). None = AUTO —
+    # no-mask training gates at the end of the cos/variance anneal
+    # (nomask_bisect_r5.json), with_mask runs levers from iter 0.
+    gate_iter = cfg.lever_start_iter
+    if gate_iter is None:
+        gate_iter = 0 if cfg.with_mask else cfg.forced_variance_finish_iter
+    cfg = dataclasses.replace(cfg, lever_start_iter=gate_iter)
     gated_levers = None
     if (cfg.lever_start_iter
             and start_iter - cfg.nr_iter_sphere_fit < cfg.lever_start_iter
