@@ -33,9 +33,14 @@ from permuto_sdf_tpu.datasets.tensor_reel import look_at_cam_to_world
 OUT = "/root/repo/eval_artifacts"
 cands = sorted(glob.glob(os.path.join(OUT, "flagship_r5_ckpt", "*", "*",
                                       "models"))
-               + glob.glob(os.path.join(OUT, "q20_ckpt", "*", "*", "models")))
+               + glob.glob(os.path.join(OUT, "q20_ckpt", "*", "*", "models")),
+               key=lambda p: (("flagship_r5_ckpt" in p),
+                              int(p.split(os.sep)[-2])))
 assert cands, "no r5 checkpoint found"
-CKPT = cands[-1]
+# prefer the flagship (most-trained) checkpoint: the 2026-08-20 morning
+# runs lexicographically picked q20/8000, whose half-trained SDF floors
+# the ST quality guard at ~20.5 dB regardless of shading variant
+CKPT = os.environ.get("ST_CKPT", cands[-1])
 print("ckpt:", CKPT, flush=True)
 cfg = tps.PermutoSDFTrainConfig()
 params, grid = tps.load_from_checkpoint(CKPT, cfg)
