@@ -178,11 +178,20 @@ def main():
                 cfg, nr_rays=R, hit_ray_frac=F,
                 sdf_active_levels=act_term))
     # pre-gate phase runs the EXACT step (levers stripped); its first
-    # graphs are what the loop needs right after sphere init
+    # graphs are what the loop needs right after sphere init — submit
+    # them NOW, and stagger the terminal seeds 60 s so the workers
+    # serve near-term graphs first (cold run: the terminal backlog
+    # starved the first train graphs and the loop stalled 80-110 s at
+    # iters 300-320)
     cfg_exact = dataclasses.replace(cfg, train_lod_top_k=None,
                                     table_grad_alternate=False)
     tps._precompile_ahead(pre, params, opt_state, grid, reel, optimizer,
-                          cfg_exact, 0, extra_cfgs=tuple(terminals))
+                          cfg_exact, 0)
+    import threading
+
+    threading.Timer(60.0, lambda: tps._precompile_ahead(
+        pre, params, opt_state, grid, reel, optimizer, cfg_exact, 0,
+        extra_cfgs=tuple(terminals))).start()
 
     compile_events = []  # (iter, seconds) for slow (compiling) dispatches
 

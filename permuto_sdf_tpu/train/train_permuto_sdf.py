@@ -2027,11 +2027,18 @@ def _precompile_ahead(pre, params, opt_state, grid, reel, optimizer, cfg,
         if act0 != cfg.sdf_active_levels:
             cands = [dataclasses.replace(cfg, sdf_active_levels=act0)]
     if cfg.c2f_level_skip:
-        for da in (0, 50, 100, 200, 400):
+        # submit the next TWO c2f fronts: cold compiles run 60-110 s
+        # while the front moves every ~100 iters, so one-ahead drains
+        # too late when the worker queue is deep (BENCH r5 cold,
+        # events at iters 320-605)
+        seen_fronts = []
+        for da in (0, 50, 100, 200, 400, 800):
             act = _c2f_active_levels(it_anneal + da, cfg)
-            if act != cfg.sdf_active_levels:
+            if act != cfg.sdf_active_levels and act not in seen_fronts:
+                seen_fronts.append(act)
                 cands.append(dataclasses.replace(cfg, sdf_active_levels=act))
-                break
+                if len(seen_fronts) >= 2:
+                    break
     nxt = _ray_bucket(cfg.nr_rays + 1)
     if nxt != cfg.nr_rays:
         cands.append(dataclasses.replace(cfg, nr_rays=nxt))

@@ -32,7 +32,13 @@ class StepPrecompiler:
     Failures are recorded, never raised into the main loop.
     """
 
-    def __init__(self, max_workers: int = 3):
+    def __init__(self, max_workers: int = 6):
+        # 6 workers: XLA compilation releases the GIL and, through the
+        # remote-TPU transport, runs server-side — concurrency is bound
+        # by the compile service, not host cores. The cold bench's
+        # compile backlog is ~900 s of XLA work against a ~1300 s
+        # warmup; 3 workers left the main loop stalling on graphs the
+        # queue hadn't reached (BENCH r5 cold: 17 events / 885 s).
         self._seen = set()
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
