@@ -96,12 +96,16 @@ def sphere_trace(
 
         if dist_field is not None:
             # a voxel at Chebyshev distance k to occupancy allows a safe
-            # (k-1)-voxel advance along any direction (L2 >= L-inf)
+            # (k-1)-voxel advance along any direction (L2 >= L-inf).
+            # Jumps gate on sdf > 1 voxel: a ray that slipped inside a
+            # mask-trained model's phantom-positive crust must not be
+            # catapulted through the unoccupied interior (see
+            # _trace_rounds_impl's jump_gate note).
             k = og.empty_distance_at(grid_cfg, dist_field, new_pos,
                                      _EMPTY_DIST_CAP)
             jump = jnp.maximum(k - 1, 0).astype(new_pos.dtype) \
                 * grid_cfg.voxel_size
-            move = (~converged & alive)[:, None]
+            move = (~converged & alive & (sdf > grid_cfg.voxel_size))[:, None]
             new_pos = jnp.where(move, new_pos + jump[:, None] * ray_dirs,
                                 new_pos)
         inside = boundary_primitive.check_point_inside_primitive(new_pos)[:, 0]
@@ -226,11 +230,14 @@ def sphere_trace_compacted(
             new_pos = sub_pos + step
             sub_conv = sub_conv | ((jnp.abs(s) < sdf_converged_tresh) & sub_alive)
             if dist_field is not None:
+                # jumps gate on sdf > 1 voxel (mask-ckpt tunnel guard —
+                # see _trace_rounds_impl's jump_gate note)
                 k = og.empty_distance_at(grid_cfg, dist_field, new_pos,
                                          _EMPTY_DIST_CAP)
                 jump = jnp.maximum(k - 1, 0).astype(new_pos.dtype) \
                     * grid_cfg.voxel_size
-                move = (~sub_conv & sub_alive)[:, None]
+                move = (~sub_conv & sub_alive
+                        & (s > grid_cfg.voxel_size))[:, None]
                 new_pos = jnp.where(move, new_pos + jump[:, None] * sub_dirs,
                                     new_pos)
             inside = boundary_primitive.check_point_inside_primitive(
@@ -302,7 +309,7 @@ def _trace_rounds_impl(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
                        t_f, alive_f, conv_f, sdf_f, grid_cfg,
                        iters: int, bucket: int, sdf_multiplier: float,
                        sdf_converged_tresh: float, time_val,
-                       jump_substeps: int = 1):
+                       jump_substeps: int = 1, jump_gate: float = 0.0):
     """``iters`` trace steps on a host-sized bucket of active rays; state is
     the per-ray t along the ray. Empty-space skipping reads the grid's
     Chebyshev distance field (og.chebyshev_empty_distance): ONE gather per
@@ -339,14 +346,27 @@ def _trace_rounds_impl(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
             # a voxel at Chebyshev distance k to occupancy allows a safe
             # (k-1)-voxel advance along any direction (L2 >= L-inf);
             # k <= 1 (at or adjacent to occupancy) advances 0, so extra
-            # substeps are idempotent near the shell
+            # substeps are idempotent near the shell.
+            # ``jump_gate``: jumps fire only while the ray's own SDF says
+            # it is clear of the crust (s > gate). A MASK-trained model's
+            # interior is unsupervised — often phantom-POSITIVE with an
+            # unoccupied grid interior — so a ray that slips through the
+            # thin crust sees "empty space" and the chained jumps
+            # catapult it out the far side (t > t_exit, killed):
+            # 19.4% of fg pixels rendered unshaded on the r5 flagship
+            # with_mask ckpt, 23.6 dB vs 40.6 with jumps off
+            # (eval_artifacts/st_mask_diag_r5.json). Gating on s keeps
+            # the far-field speedup (s and k are both large there) and
+            # the prepass (which cannot tunnel: no SDF steps).
+            allow = act & (s > jump_gate)
+
             def _jump(_, t_cur):
                 p_new = o + t_cur[:, None] * d
                 k = og.empty_distance_at(grid_cfg, dist_field, p_new,
                                          _EMPTY_DIST_CAP)
                 jump = jnp.maximum(k - 1, 0).astype(t_cur.dtype) \
                     * grid_cfg.voxel_size
-                return jnp.where(act, t_cur + jump, t_cur)
+                return jnp.where(allow, t_cur + jump, t_cur)
 
             t_new = jnp.where(act, t_new, t)
             t_new = jax.lax.fori_loop(0, jump_substeps, _jump, t_new)
@@ -368,7 +388,7 @@ def _trace_rounds_impl(sdf_eval, ctx, origins_f, dirs_f, texit_f, dist_field,
 # paying a recompile per frame.
 _trace_rounds = functools.partial(jax.jit, static_argnames=(
     "sdf_eval", "iters", "bucket", "grid_cfg", "sdf_multiplier",
-    "sdf_converged_tresh", "jump_substeps"))(_trace_rounds_impl)
+    "sdf_converged_tresh", "jump_substeps", "jump_gate"))(_trace_rounds_impl)
 
 
 def _jump_prepass_impl(dist_field, origins_f, dirs_f, texit_f, t_f, alive_f,
@@ -428,7 +448,7 @@ _refresh_sdf = functools.partial(jax.jit, static_argnames=(
 @functools.lru_cache(maxsize=None)
 def _dp_trace_rounds(mesh, sdf_eval, grid_cfg, iters: int, bucket: int,
                      sdf_multiplier: float, sdf_converged_tresh: float,
-                     jump_substeps: int = 1):
+                     jump_substeps: int = 1, jump_gate: float = 0.0):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     from permuto_sdf_tpu.parallel.mesh import RAY_AXIS
@@ -439,7 +459,7 @@ def _dp_trace_rounds(mesh, sdf_eval, grid_cfg, iters: int, bucket: int,
             sdf_eval, ctx, origins_f[0], dirs_f[0], texit_f[0], dist_field,
             t_f[0], alive_f[0], conv_f[0], sdf_f[0], grid_cfg, iters, bucket,
             sdf_multiplier, sdf_converged_tresh, time_val,
-            jump_substeps=jump_substeps,
+            jump_substeps=jump_substeps, jump_gate=jump_gate,
         )
         return t[None], alive[None], conv[None], sdf[None], counts[None]
 
@@ -483,6 +503,7 @@ def sphere_trace_adaptive_dp(
     refine_sdf_eval=None, refine_ctx=None, nr_refine_iters: int = 3,
     min_bucket: int = 256, dist_field=None, round_sdf_evals: tuple = (),
     jump_substeps: int = 1, prepass_jumps: int = 0,
+    jump_gate_voxels: float = 1.0,
 ):
     """:func:`sphere_trace_adaptive` over a device mesh.
 
@@ -527,6 +548,8 @@ def sphere_trace_adaptive_dp(
     n_active = int(per_dev.sum())
     max_active = int(per_dev.max())  # sizes the first shared bucket
     n_alive_max = max_active
+    jump_gate = (float(jump_gate_voxels) * grid_cfg.voxel_size
+                 if grid_cfg is not None else 0.0)
     for rnd in range(nr_rounds):
         if n_active == 0:
             break
@@ -535,7 +558,7 @@ def sphere_trace_adaptive_dp(
                              hi=max(min_bucket, R_local))
         step = _dp_trace_rounds(mesh, ev, grid_cfg, iters_per_round, bucket,
                                 sdf_multiplier, sdf_converged_tresh,
-                                jump_substeps)
+                                jump_substeps, jump_gate)
         t_f, alive_f, conv_f, sdf_f, counts = step(
             ctx, origins_f, dirs_f, texit_f, dist_field,
             t_f, alive_f, conv_f, sdf_f, time_val,
@@ -554,7 +577,8 @@ def sphere_trace_adaptive_dp(
                              hi=max(min_bucket, R_local))
         step = _dp_trace_rounds(mesh, refine_sdf_eval, grid_cfg,
                                 nr_refine_iters, bucket, sdf_multiplier,
-                                sdf_converged_tresh, jump_substeps)
+                                sdf_converged_tresh, jump_substeps,
+                                jump_gate)
         t_f, alive_ref, conv_ref, sdf_f, counts = step(
             refine_ctx, origins_f, dirs_f, texit_f, dist_field,
             t_f, open_f, jnp.zeros_like(conv_f), sdf_f, time_val,
@@ -594,6 +618,9 @@ def sphere_trace_adaptive(
     final_refresh: bool = True,
     jump_substeps: int = 1,      # chained empty-space jumps per SDF eval
     prepass_jumps: int = 0,      # jump-only prepass before round 0
+    jump_gate_voxels: float = 1.0,  # jumps only while sdf > this many
+                                    # voxels (mask-ckpt tunnel guard; see
+                                    # _trace_rounds_impl)
     stats_out: Optional[list] = None,  # appended: per-stage (name, bucket,
                                        # n_active, n_hit) for floor models
 ):
@@ -651,6 +678,8 @@ def sphere_trace_adaptive(
     else:
         n_active = int(jnp.sum(alive_f[:R]))
     n_hit = 0
+    jump_gate = (float(jump_gate_voxels) * grid_cfg.voxel_size
+                 if grid_cfg is not None else 0.0)
     for rnd in range(nr_rounds):
         if n_active == 0:
             break
@@ -660,7 +689,7 @@ def sphere_trace_adaptive(
             ev, ctx, origins_f, dirs_f, texit_f, dist_field,
             t_f, alive_f, conv_f, sdf_f, grid_cfg, iters_per_round, bucket,
             sdf_multiplier, sdf_converged_tresh, time_val,
-            jump_substeps=jump_substeps,
+            jump_substeps=jump_substeps, jump_gate=jump_gate,
         )
         counts = np.asarray(counts)
         n_active, n_hit = int(counts[0]), int(counts[1])
@@ -683,6 +712,7 @@ def sphere_trace_adaptive(
             dist_field, t_f, open_f, jnp.zeros_like(conv_f), sdf_f,
             grid_cfg, nr_refine_iters, bucket, sdf_multiplier,
             sdf_converged_tresh, time_val, jump_substeps=jump_substeps,
+            jump_gate=jump_gate,
         )
         conv_f = jnp.where(open_f, conv_ref & alive_ref, conv_f)
         alive_f = jnp.where(open_f, alive_ref, alive_f)

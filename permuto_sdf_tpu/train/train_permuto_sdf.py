@@ -1788,7 +1788,8 @@ def _render_sphere_traced_dp(
         lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
         sdf_multiplier, sdf_converged_tresh, dist_field,
         jump_substeps: int = 4, prepass_jumps: int = 16,
-        lod_schedule: tuple | None = None):
+        lod_schedule: tuple | None = None,
+        jump_gate_voxels: float = 1.0):
     """DP drive of the adaptive sphere tracer: rays interleave-sharded over
     the mesh, trace + shade fully device-side, one compacted uint8 fetch
     per device slice. Returns flat (rgb, nrm, w) host arrays of length n."""
@@ -1828,6 +1829,7 @@ def _render_sphere_traced_dp(
             refine_ctx=refine_ctx, nr_refine_iters=nr_refine_iters,
             dist_field=dist_field, round_sdf_evals=round_evals,
             jump_substeps=jump_substeps, prepass_jumps=prepass_jumps,
+            jump_gate_voxels=jump_gate_voxels,
         )
         bucket = pow2_bucket(max(n_alive_max, 1), lo=256,
                              hi=max(256, chunk_local))
@@ -1856,6 +1858,7 @@ def render_image_sphere_traced_fast(
         sdf_multiplier: float = 0.9, sdf_converged_tresh: float = 2e-4,
         dist_field=None, mesh=None, lod_schedule: tuple | None = None,
         jump_substeps: int = 4, prepass_jumps: int = 16,
+        jump_gate_voxels: float = 1.0,
         shade_sdf_levels: int | None = None):
     """The interactive rendering fast path (reference: "render at
     interactive speeds" via sphere tracing, README.md:19 +
@@ -1891,7 +1894,8 @@ def render_image_sphere_traced_fast(
             params, grid, origins, dirs, n, iter_nr_anneal, cfg, mesh, chunk,
             lod_levels, nr_rounds, iters_per_round, nr_refine_iters,
             sdf_multiplier, sdf_converged_tresh, dist_field, jump_substeps,
-            prepass_jumps, lod_schedule=lod_schedule)
+            prepass_jumps, lod_schedule=lod_schedule,
+            jump_gate_voxels=jump_gate_voxels)
         return (rgb.reshape(height, width, 3), nrm.reshape(height, width, 3),
                 w.reshape(height, width, 1))
     # clamp the chunk to the frame's ray count (bucket-ladder granularity):
@@ -1926,6 +1930,7 @@ def render_image_sphere_traced_fast(
             return_n_hit=True, round_sdf_evals=round_evals,
             final_refresh=False,  # the shading pass re-evaluates the hits
             jump_substeps=jump_substeps, prepass_jumps=prepass_jumps,
+            jump_gate_voxels=jump_gate_voxels,
         )
         lit = _lit_and_state(pos, conv, alive, grid, grid_cfg, cfg)
         # n_alive >= n_lit (lit additionally requires in-bounds+occupied),
